@@ -1,0 +1,149 @@
+"""Ordered-statistics decoding (OSD) for arbitrary binary linear block codes.
+
+Capability parity with reference ``my_sn/fec/osd/dec.py`` (order-t OSD with
+the LLR distance metric of Balatsoukas-Stimming et al.): derive G by encoding
+the identity, sort received |LLR|s, bring the permuted G into systematic
+form over the most-reliable basis via batched GF(2) elimination, hard-decide
+the k most reliable bits, then sweep all error patterns of weight <= t.
+
+TPU design notes: the per-sample Gaussian elimination is a ``lax.scan`` over
+the k pivot steps (each step is a full-batch rank-1 GF(2) update — VPU
+work); the candidate sweep is chunked over error patterns with a static
+chunk size so peak memory stays bounded regardless of ``C(k, t)`` (the
+reference instead materializes everything and guards with a hard
+``ResourceWarning``, ``dec.py:44-49`` — the warning thresholds are kept).
+"""
+
+import itertools
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.special import comb
+
+from polar_tpu.utils.numerics import int_mod_2
+
+
+def _hard(llr):
+    return jnp.where(llr > 0, 1.0, 0.0)
+
+
+class OSDecoder:
+    """``__call__(llr_logits[..., n]) -> c_hat[..., n]`` (codeword bits)."""
+
+    def __init__(self, t: int = 0, encoder=None, llr_max: float = 100.0,
+                 pattern_chunk: int = 4096, dtype=jnp.float32):
+        assert int(t) == t, "t must be int."
+        self._t = int(t)
+        self._llr_max = float(llr_max)
+        self._pattern_chunk = int(pattern_chunk)
+        self.dtype = dtype
+        if encoder is None or getattr(encoder, "k", None) is None:
+            raise AttributeError("encoder is not initialized or has no k.")
+        # derive G by encoding the k unit vectors
+        eye = jnp.eye(encoder.k, dtype=jnp.float32)
+        gm = np.asarray(encoder(eye)).astype(np.int8)
+        self._gm = gm.astype(np.float32)  # [k, n]
+        self._k = int(gm.shape[0])
+        self._n = int(gm.shape[1])
+        num_patterns = sum(
+            comb(self._n, ti, exact=True) for ti in range(1, self._t + 1))
+        num_symbols = num_patterns * self._n
+        if num_symbols > 1e9:
+            print(f"Note: OSD complexity is large for these code params and "
+                  f"t={t}. Consider small batch sizes.")
+        if num_symbols > 1e11:
+            raise ResourceWarning(
+                "OSD complexity too high; use a smaller t.")
+        # precompute error-pattern index arrays per order
+        self._err_patterns = [
+            np.array(list(itertools.combinations(range(self._k), ti)),
+                     dtype=np.int32)
+            for ti in range(1, self._t + 1)
+        ]
+        self._jit_decode = jax.jit(self._decode_2d)
+
+    @property
+    def k(self):
+        return self._k
+
+    @property
+    def n(self):
+        return self._n
+
+    def _get_dist(self, llr, c_hat):
+        """LLR distance: mean softplus(llr * (1 - 2c)) over the block.
+        llr: [bs, n]; c_hat: [bs, p, n] -> [bs, p]."""
+        sgn = llr[:, None, :] * (1.0 - 2.0 * c_hat)
+        return jnp.mean(jnp.logaddexp(0.0, sgn), axis=2)
+
+    def _find_mrb(self, gm):
+        """Batched GF(2) elimination to systematic form over the most
+        reliable basis. gm: [bs, k, n] -> (gm_mrb [bs,k,n], idx_sort [bs,n])."""
+        bs, k, n = gm.shape
+
+        def step(g, i):
+            row = jax.lax.dynamic_index_in_dim(g, i, axis=1,
+                                               keepdims=False)  # [bs, n]
+            pivot = jnp.argmax(row, axis=-1)  # first 1 per sample
+            col = jnp.take_along_axis(
+                g, pivot[:, None, None], axis=2)[..., 0]  # [bs, k]
+            col = col * (jnp.arange(k)[None, :] != i)  # skip the pivot row
+            g = int_mod_2(g + col[:, :, None] * row[:, None, :])
+            return g, pivot
+
+        gm, pivots = jax.lax.scan(step, gm, jnp.arange(k))
+        idx_pivot = pivots.T.astype(jnp.int32)  # [bs, k]
+        # non-pivot columns: push pivots to the end, keep order of the rest
+        counts = jnp.zeros((bs, n), jnp.int32)
+        counts = counts.at[jnp.arange(bs)[:, None], idx_pivot].add(n)
+        keyed = jnp.arange(n)[None, :] + counts
+        idx_parity = jnp.argsort(keyed, axis=-1)[:, : n - k].astype(jnp.int32)
+        idx_sort = jnp.concatenate([idx_pivot, idx_parity], axis=1)
+        gm = jnp.take_along_axis(gm, idx_sort[:, None, :], axis=2)
+        return gm, idx_sort
+
+    def _decode_2d(self, llr_in):
+        bs = llr_in.shape[0]
+        llr_ch = jnp.clip(llr_in.astype(jnp.float32),
+                          -self._llr_max, self._llr_max)
+        # 1) reliability sort
+        idx_sort = jnp.argsort(-jnp.abs(llr_ch), axis=-1).astype(jnp.int32)
+        gm = jnp.broadcast_to(self._gm[None], (bs, self._k, self._n))
+        gm_sort = jnp.take_along_axis(gm, idx_sort[:, None, :], axis=2)
+        # 2) most reliable basis
+        gm_mrb, idx_mrb = self._find_mrb(gm_sort)
+        idx_sort = jnp.take_along_axis(idx_sort, idx_mrb, axis=1)
+        llr_sort = jnp.take_along_axis(llr_ch, idx_sort, axis=1)
+        idx_sort_inv = jnp.argsort(idx_sort, axis=-1)
+        # 3) hard-decide the k most reliable bits and re-encode
+        u_hd = _hard(llr_sort[:, : self._k])
+        c = int_mod_2(jnp.einsum("bk,bkn->bn", u_hd, gm_mrb))
+        d_best = self._get_dist(llr_sort, c[:, None, :])[:, 0]
+        c_best = c
+        # 4) sweep error patterns of weight 1..t, chunked
+        for ep in self._err_patterns:
+            for lo in range(0, ep.shape[0], self._pattern_chunk):
+                chunk = ep[lo:lo + self._pattern_chunk]
+                rows = jnp.take(gm_mrb, chunk, axis=1)  # [bs, p, t', n]
+                e = jnp.sum(rows, axis=2) + c[:, None, :]
+                c_cand = int_mod_2(e)
+                d = self._get_dist(llr_sort, c_cand)  # [bs, p]
+                arg = jnp.argmin(d, axis=1)
+                d_min = jnp.take_along_axis(d, arg[:, None], axis=1)[:, 0]
+                c_min = jnp.take_along_axis(
+                    c_cand, arg[:, None, None], axis=1)[:, 0, :]
+                better = d_min < d_best
+                c_best = jnp.where(better[:, None], c_min, c_best)
+                d_best = jnp.where(better, d_min, d_best)
+        # 5) undo permutation
+        c_hat = jnp.take_along_axis(c_best, idx_sort_inv, axis=1)
+        return c_hat.astype(self.dtype)
+
+    def __call__(self, inputs):
+        assert inputs.shape[-1] == self._n, "last dim must be of length n"
+        lead = inputs.shape[:-1]
+        out = self._jit_decode(inputs.reshape(-1, self._n))
+        return out.reshape(lead + (self._n,))
+
+    def decode(self, llr_logits):
+        return self._decode_2d(llr_logits)

@@ -1,0 +1,95 @@
+"""Successive-cancellation (SC) polar decoder, TPU-native.
+
+The reference decodes with host-side Python recursion over torch tensors
+(``x_run_sn_polar/polar/polar_sc.py:54-133``, ``my_sn/fec/polar/dec.py:54-157``).
+Here the same recursion is *unrolled at trace time* into a single XLA
+program: the node schedule for a given ``n`` is a compile-time constant
+(2n-1 nodes), every f/g/combine is a fixed-shape op, and there is zero host
+dispatch inside the decode. Two TPU-specific choices:
+
+* **batch-minor layout** ``[n, bs]`` — the Monte-Carlo batch axis rides the
+  128-wide VPU lanes, so even the width-1 leaf ops are full-rate over the
+  batch;
+* decisions are int8, XOR re-encoding on the unwind (no float mod-2).
+
+Logit convention matches the reference: inputs are logits
+(``llr > 0 -> bit 1``), negated on entry; exact-zero LLR ties decide bit 1.
+``mode`` selects the f-function: ``"minsum"``(=``"max"``) is what the
+reference CLI chain runs (see SURVEY quirk: ``polar_sc.py:46`` overrides the
+exact form), ``"exact"``(=``"llr"``) is the Sionna-faithful boxplus.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from polar_tpu.ops.fg import F_FUNCTIONS, g as g_op
+from polar_tpu.models.polar.construction import info_positions
+
+
+class PolarSCDecoder:
+    """SC decoder. ``__call__(llr_logits[..., n]) -> u_hat[..., k]``."""
+
+    def __init__(self, frozen_pos, n: int, mode: str = "minsum",
+                 llr_max: float = 30.0, output_dtype=jnp.float32):
+        n = int(n)
+        assert np.log2(n) == int(np.log2(n)), "n must be a power of 2."
+        assert n >= 2
+        self.n = n
+        self.frozen_pos = np.asarray(frozen_pos, dtype=np.int64)
+        self.k = n - len(self.frozen_pos)
+        self.info_pos = info_positions(self.frozen_pos, n)
+        assert self.k == len(self.info_pos), "invalid info_pos generated."
+        self.llr_max = float(llr_max)
+        self.output_dtype = output_dtype
+        assert mode in F_FUNCTIONS, f"unknown mode {mode!r}"
+        self.mode = mode
+        self._f = F_FUNCTIONS[mode]
+        self._frozen_mask = np.zeros(n, dtype=bool)
+        self._frozen_mask[self.frozen_pos] = True
+        self._info_idx = self.info_pos
+        self._jit_decode = jax.jit(self._decode_2d)
+
+    # --- core: one statically-unrolled decode over [n, bs] true-LLRs ---
+    def _decode_tree(self, llr):
+        """llr: [n, bs] true LLRs. Returns decisions u [n, bs] int8."""
+        f = self._f
+        decisions = [None] * self.n
+
+        def rec(llr_seg, lo):
+            m = llr_seg.shape[0]
+            if m == 1:
+                if self._frozen_mask[lo]:
+                    u = jnp.zeros(llr_seg.shape, dtype=jnp.int8)
+                else:
+                    # hard decision; exact-zero LLR maps to bit 1 (reference
+                    # tie-break, polar_sc.py:96-97)
+                    u = (llr_seg <= 0).astype(jnp.int8)
+                decisions[lo] = u
+                return u
+            half = m // 2
+            a, b = llr_seg[:half], llr_seg[half:]
+            u_left = rec(f(a, b, self.llr_max), lo)
+            u_right = rec(g_op(a, b, u_left), lo + half)
+            return jnp.concatenate([u_left ^ u_right, u_right], axis=0)
+
+        rec(llr, 0)
+        return jnp.concatenate(decisions, axis=0)
+
+    def _decode_2d(self, llr_logits):
+        """[bs, n] logits -> [bs, k] hard decisions (output dtype)."""
+        llr = -llr_logits.astype(jnp.float32).T  # [n, bs], true LLRs
+        u = self._decode_tree(llr)  # [n, bs]
+        u_hat = jnp.take(u, self._info_idx, axis=0)  # [k, bs]
+        return u_hat.T.astype(self.output_dtype)
+
+    def __call__(self, inputs):
+        assert inputs.shape[-1] == self.n, "last dim must be of length n"
+        assert inputs.ndim > 1, "inputs must have at least 2 dimensions"
+        lead = inputs.shape[:-1]
+        out = self._jit_decode(inputs.reshape(-1, self.n))
+        return out.reshape(lead + (self.k,))
+
+    # pure functional entry (for composing into larger jitted programs)
+    def decode(self, llr_logits):
+        return self._decode_2d(llr_logits)

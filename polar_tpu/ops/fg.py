@@ -1,0 +1,62 @@
+"""Check-node (f) and variable-node (g) LLR updates for SC/SCL decoding.
+
+Semantics match the reference decoders:
+
+* ``f_minsum`` — the hardware-friendly min-sum approximation the reference's
+  CLI chain actually runs (``x_run_sn_polar/polar/polar_sc.py:33-48`` — note
+  its line 46 unconditionally overrides the exact form — and
+  ``x_run_sn_polar/polar/polar_scl.py:93-106``).
+* ``f_exact`` — the exact log-domain boxplus used by the Sionna-faithful
+  decoders (``my_sn/fec/polar/dec.py:34-48`` and ``:330-341``):
+  ``ln(e^{L1+L2}+1) - ln(e^{L1}+e^{L2})``.
+* ``g`` — ``(1-2*u_hat)*x + y`` (``my_sn/fec/polar/dec.py:49-53``).
+
+Inputs are clipped to ``+-llr_max`` (default 30) before the f update, exactly
+like the reference. All functions are shape-polymorphic element-wise ops and
+fuse into the surrounding XLA program.
+"""
+
+import jax.numpy as jnp
+
+LLR_MAX = 30.0
+
+
+def _clip(x, llr_max):
+    return jnp.clip(x, -llr_max, llr_max)
+
+
+def f_minsum(x, y, llr_max=LLR_MAX):
+    """Min-sum check-node update: ``sign(x)sign(y)min(|x|,|y|)``."""
+    x = _clip(x, llr_max)
+    y = _clip(y, llr_max)
+    return jnp.sign(x) * jnp.sign(y) * jnp.minimum(jnp.abs(x), jnp.abs(y))
+
+
+def f_exact(x, y, llr_max=LLR_MAX):
+    """Exact log-domain boxplus, numerically stable form."""
+    x = _clip(x, llr_max)
+    y = _clip(y, llr_max)
+    # ln(1 + e^{x+y}) - ln(e^x + e^y); written with logaddexp for stability
+    # on TPU (never materializes e^{30+30}).
+    return jnp.logaddexp(0.0, x + y) - jnp.logaddexp(x, y)
+
+
+F_FUNCTIONS = {"minsum": f_minsum, "max": f_minsum, "exact": f_exact, "llr": f_exact}
+
+
+def g(x, y, u_hat):
+    """Variable-node update: ``(1 - 2*u_hat) * x + y``.
+
+    ``u_hat`` is the left-child partial sum (0/1, any numeric dtype).
+    """
+    return (1.0 - 2.0 * u_hat.astype(x.dtype)) * x + y
+
+
+def pm_update(pm, llr, u_hat, llr_max=LLR_MAX):
+    """Path-metric increment, Eq. (10) of Balatsoukas-Stimming et al.
+
+    ``pm += ln(1 + exp(-(1-2u)*clip(llr)))`` — reference
+    ``my_sn/fec/polar/dec.py:320-329``. Uses softplus via logaddexp.
+    """
+    llr = _clip(llr, llr_max)
+    return pm + jnp.logaddexp(0.0, -(1.0 - 2.0 * u_hat.astype(llr.dtype)) * llr)
