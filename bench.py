@@ -1,0 +1,63 @@
+"""Headline benchmark: decoded info bits/s through the full Monte-Carlo
+chain (source -> polar encode -> QPSK -> AWGN -> demap -> SCL-8 decode) at
+k=512, n=1024 — the north-star config of BASELINE.md (reference: 2,690
+info bits/s on CPU along its own main.py path).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+# amortize XLA compile across runs
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/polar_tpu_xla"))
+
+import jax
+import jax.numpy as jnp
+
+import polar_tpu as pt
+
+BASELINE_INFO_BPS = 2690.0  # BASELINE.md: SCL-8 decode+chain, k=512 n=1024
+
+
+def main():
+    k, n, L = 512, 1024, 8
+    bs = int(os.environ.get("BENCH_BS", "1024"))
+    iters = int(os.environ.get("BENCH_ITERS", "8"))
+
+    frozen, _ = pt.generate_5g_ranking(k, n)
+    enc = pt.PolarEncoder(frozen, n)
+    dec = pt.PolarSCLDecoder(frozen, n, list_size=L)
+    model = pt.SystemAWGNModel(n, k, enc, dec)
+
+    # compile + warmup (excluded from timing)
+    b, b_hat = model(jax.random.PRNGKey(0), bs, 2.0)
+    jax.block_until_ready((b, b_hat))
+    float(jnp.sum(b_hat))
+
+    t0 = time.perf_counter()
+    errs = 0.0
+    for it in range(iters):
+        b, b_hat = model(jax.random.PRNGKey(it + 1), bs, 2.0)
+        errs += float(jnp.sum(b != b_hat))  # forces full materialization
+    dt = time.perf_counter() - t0
+
+    bits = k * bs * iters
+    bps = bits / dt
+    print(json.dumps({
+        "metric": "scl8_n1024_chain_info_bits_per_s",
+        "value": round(bps, 1),
+        "unit": "info bit/s",
+        "vs_baseline": round(bps / BASELINE_INFO_BPS, 2),
+    }))
+    # diagnostics to stderr only (keep stdout one-line)
+    print(f"# device={jax.devices()[0]} bs={bs} iters={iters} "
+          f"time={dt:.3f}s ber@2dB={errs / bits:.4f} "
+          f"schedule={dec.schedule}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -65,10 +65,17 @@ class PolarEncoder:
         return polar_transform(c).astype(self.dtype)
 
     def parity_check(self, c):
-        """True where ``c`` is a valid codeword (H c^T = 0); test/debug aid."""
+        """True where ``c`` is a valid codeword; test/debug aid.
+
+        ``c = u G`` with ``u`` zero at frozen positions, and ``G`` is an
+        involution over GF(2), so ``u = c G`` and validity is
+        ``(c G)[frozen] = 0`` — i.e. ``H = G[:, frozen]`` (columns at the
+        frozen positions; ``G`` is lower-triangular, not symmetric).
+        Capability parity with the reference's runtime H-check
+        (``my_sn/fec/polar/enc.py:52-61,110``)."""
         g = dense_generator(self._n)
-        h = g[self._frozen_pos, :].astype(np.float32)
-        syn = int_mod_2(jnp.matmul(c.astype(jnp.float32), h.T,
+        h = g[:, self._frozen_pos].astype(np.float32)
+        syn = int_mod_2(jnp.matmul(c.astype(jnp.float32), h,
                                    preferred_element_type=jnp.float32))
         return jnp.sum(syn, axis=-1) == 0
 

@@ -24,14 +24,25 @@ import jax
 import jax.numpy as jnp
 
 from polar_tpu.ops.fg import F_FUNCTIONS, g as g_op
+from polar_tpu.ops.butterfly import polar_transform
 from polar_tpu.models.polar.construction import info_positions
+
+# above this blocklength the unrolled-tree program gets large enough that
+# XLA compile time dominates; switch to the O(log^2 n)-sized scan program
+SCAN_THRESHOLD_N = 512
 
 
 class PolarSCDecoder:
-    """SC decoder. ``__call__(llr_logits[..., n]) -> u_hat[..., k]``."""
+    """SC decoder. ``__call__(llr_logits[..., n]) -> u_hat[..., k]``.
+
+    ``schedule``: ``"unrolled"`` traces the decode tree into O(n) XLA ops
+    (fastest at short n), ``"scan"`` uses the O(log^2 n)-op ``lax.scan``
+    sweep (``scan_core.py``) for large n, ``"auto"`` picks by blocklength.
+    """
 
     def __init__(self, frozen_pos, n: int, mode: str = "minsum",
-                 llr_max: float = 30.0, output_dtype=jnp.float32):
+                 llr_max: float = 30.0, schedule: str = "auto",
+                 output_dtype=jnp.float32):
         n = int(n)
         assert np.log2(n) == int(np.log2(n)), "n must be a power of 2."
         assert n >= 2
@@ -48,6 +59,10 @@ class PolarSCDecoder:
         self._frozen_mask = np.zeros(n, dtype=bool)
         self._frozen_mask[self.frozen_pos] = True
         self._info_idx = self.info_pos
+        assert schedule in ("auto", "unrolled", "scan")
+        if schedule == "auto":
+            schedule = "scan" if n >= SCAN_THRESHOLD_N else "unrolled"
+        self.schedule = schedule
         self._jit_decode = jax.jit(self._decode_2d)
 
     # --- core: one statically-unrolled decode over [n, bs] true-LLRs ---
@@ -79,7 +94,12 @@ class PolarSCDecoder:
     def _decode_2d(self, llr_logits):
         """[bs, n] logits -> [bs, k] hard decisions (output dtype)."""
         llr = -llr_logits.astype(jnp.float32).T  # [n, bs], true LLRs
-        u = self._decode_tree(llr)  # [n, bs]
+        if self.schedule == "scan":
+            from polar_tpu.models.polar.scan_core import sc_sweep_hybrid
+            u = sc_sweep_hybrid(llr, self._frozen_mask, mode=self.mode,
+                                llr_max=self.llr_max)
+        else:
+            u = self._decode_tree(llr)  # [n, bs]
         u_hat = jnp.take(u, self._info_idx, axis=0)  # [k, bs]
         return u_hat.T.astype(self.output_dtype)
 

@@ -1,0 +1,606 @@
+"""Scan-based SC/SCL decode sweeps for large blocklengths.
+
+The unrolled-tree decoders (``sc.py``/``scl.py``) emit O(n) XLA ops — ideal
+at short blocklengths, but XLA compile time explodes for n >= 512 (measured
+~380 s for SCL-8 at n=1024 on TPU v5e, vs ~10 s for this module). This
+module implements the same algorithms as ONE ``lax.scan`` over the n
+leaves, so the compiled program size is O(log^2 n) regardless of n:
+
+* the per-leaf **descent** (recompute LLR segments down to stage 0) and
+  **rise** (propagate partial sums up) have leaf-dependent depth; each depth
+  is a separate ``lax.switch`` branch with *static* widths — at leaf ``i``
+  the descent starts at stage ``ctz(i)`` with one g-update and continues
+  with f-updates to stage 0, and the rise combines through ``cto(i)``
+  (trailing ones) stages. Total work stays the optimal O(n log n) per path.
+* stage workspaces are a **pytree of per-stage arrays** (stage ``s``:
+  ``[2^s, L, bs]``), NOT one packed buffer: a switch branch returns
+  untouched stages by identity, so XLA's loop aliasing keeps per-leaf
+  memory traffic proportional to the segment actually recomputed instead
+  of copying an O(n·L·bs) workspace every iteration.
+* SCL forks do NOT copy workspaces. Each stage carries a **path pointer**
+  (``lperm``/``uperm``: [S, L, bs] logical-path -> physical-slot maps);
+  a fork re-indexes the pointers (O(S·L·bs)) and every segment read gathers
+  through its stage pointer. This is the functional analogue of the
+  reference's ``_dec_pointer`` in-place trick
+  (``x_run_sn_polar/polar/polar_scl.py:86-120``), without the in-place sort.
+* decisions are never stored per-leaf: the final rise (leaf n-1) yields the
+  full per-path codeword, and ``u = polar_transform(cw)`` recovers the
+  decision vector (the transform is an involution over GF(2)).
+
+Path-metric semantics are identical to the unrolled decoders (same clipped
+softplus updates, Stimming Eq. 10), so outputs are bit-identical up to PM
+ties; equivalence is asserted in tests/test_scan.py.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from polar_tpu.ops.fg import F_FUNCTIONS, g as g_op
+from polar_tpu.ops.butterfly import polar_transform
+
+
+def _softplus(x):
+    return jnp.logaddexp(0.0, x)
+
+
+def _ctz(i: int) -> int:
+    return (i & -i).bit_length() - 1
+
+
+def _cto(i: int) -> int:
+    c = 0
+    while i & 1:
+        c += 1
+        i >>= 1
+    return c
+
+
+def leaf_schedule(n: int):
+    """Per-leaf (descent_id, rise_id) branch indices.
+
+    descent_id = ctz(i) for i > 0 (g-update at that stage, then f to stage
+    0); leaf 0 uses branch S (pure f-descent from the channel LLRs).
+    rise_id = count of trailing ones of i (stages combined upward); leaf
+    n-1 has rise_id = S, which materializes the codeword.
+    """
+    S = int(np.log2(n))
+    desc = np.array([S] + [_ctz(i) for i in range(1, n)], dtype=np.int32)
+    rise = np.array([_cto(i) for i in range(n)], dtype=np.int32)
+    return S, desc, rise
+
+
+def _replace(t, i, v):
+    """Tuple with element i replaced (branches must keep pytree structure)."""
+    return t[:i] + (v,) + t[i + 1:]
+
+
+def _replace_many(t, items):
+    lst = list(t)
+    for i, v in items:
+        lst[i] = v
+    return tuple(lst)
+
+
+# ----------------------------------------------------------------------
+# SC (single path, no pointers needed)
+# ----------------------------------------------------------------------
+def sc_sweep(llr_ch, frozen_mask, mode: str = "minsum",
+             llr_max: float = 30.0):
+    """Scan-based SC sweep. ``llr_ch``: [n, bs] true LLRs (already negated
+    from logits). Returns the decision vector ``u``: [n, bs] int8."""
+    n, bs = llr_ch.shape
+    S, desc_ids, rise_ids = leaf_schedule(n)
+    f = F_FUNCTIONS[mode]
+    frozen = jnp.asarray(np.asarray(frozen_mask), dtype=jnp.bool_)
+
+    # carry: (lbuf_0..lbuf_{S-1}, u0_0..u0_{S-1}, cw); stage s is [2^s, bs]
+    def make_descent(d):
+        def branch(carry):
+            lbufs, u0s, cw = carry[:S], carry[S:2 * S], carry[2 * S]
+            w = 1 << (d + 1)
+            a = llr_ch if (d + 1) == S else lbufs[d + 1]
+            cur = g_op(a[:w // 2], a[w // 2:], u0s[d])
+            upd = [(d, cur)]
+            for s in range(d, 0, -1):
+                h = 1 << (s - 1)
+                cur = f(cur[:h], cur[h:], llr_max)
+                upd.append((s - 1, cur))
+            return _replace_many(carry, upd)
+        return branch
+
+    def root_descent(carry):
+        cur = llr_ch
+        upd = []
+        for s in range(S, 0, -1):
+            h = 1 << (s - 1)
+            cur = f(cur[:h], cur[h:], llr_max)
+            upd.append((s - 1, cur))
+        return _replace_many(carry, upd)
+
+    descent_branches = [make_descent(d) for d in range(S)] + [root_descent]
+
+    def make_rise(r):
+        def branch(carry_ubit):
+            carry, ubit = carry_ubit[:-1], carry_ubit[-1]
+            u0s = carry[S:2 * S]
+            cur = ubit
+            for s in range(r):
+                cur = jnp.concatenate([u0s[s] ^ cur, cur], axis=0)
+            if r < S:
+                return _replace(carry, S + r, cur) + (ubit,)
+            return _replace(carry, 2 * S, cur) + (ubit,)
+        return branch
+
+    rise_branches = [make_rise(r) for r in range(S + 1)]
+
+    def body(carry, x):
+        desc_id, rise_id, is_frozen = x
+        carry = lax.switch(desc_id, descent_branches, carry)
+        llr0 = carry[0]  # [1, bs], freshly written by the descent
+        # frozen -> 0; else hard decision with the reference's 0-LLR -> 1
+        ubit = jnp.where(is_frozen, jnp.zeros_like(llr0, dtype=jnp.int8),
+                         (llr0 <= 0).astype(jnp.int8))
+        carry = lax.switch(rise_id, rise_branches, carry + (ubit,))[:-1]
+        return carry, None
+
+    lbufs = tuple(jnp.zeros((1 << s, bs), jnp.float32) for s in range(S))
+    u0s = tuple(jnp.zeros((1 << s, bs), jnp.int8) for s in range(S))
+    cw0 = jnp.zeros((n, bs), jnp.int8)
+    carry, _ = lax.scan(
+        body, lbufs + u0s + (cw0,),
+        (jnp.asarray(desc_ids), jnp.asarray(rise_ids), frozen))
+    # the final rise materialized the codeword; the transform (an involution)
+    # recovers the decisions
+    return polar_transform(carry[2 * S], axis=0)
+
+
+# ----------------------------------------------------------------------
+# SCL (L paths, lazy path pointers)
+# ----------------------------------------------------------------------
+def scl_sweep(llr_ch, frozen_mask, list_size: int, mode: str = "minsum",
+              llr_max: float = 30.0):
+    """Scan-based SCL sweep. ``llr_ch``: [n, bs] true LLRs. Returns
+    ``(u [n, L, bs] int8, pm [L, bs] f32)`` — per-path decision vectors in
+    final logical order plus their path metrics (consumed by scl.py's
+    CRC/argmin selection tail)."""
+    n, bs = llr_ch.shape
+    L = int(list_size)
+    S, desc_ids, rise_ids = leaf_schedule(n)
+    f = F_FUNCTIONS[mode]
+    frozen = jnp.asarray(np.asarray(frozen_mask), dtype=jnp.bool_)
+    llr_bc = jnp.broadcast_to(llr_ch[:, None, :], (n, L, bs))
+    ident = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[:, None],
+                             (L, bs))
+    clip = lambda x: jnp.clip(x, -llr_max, llr_max)
+
+    # carry layout (tuple): 0..S-1 lbuf stages [2^s, L, bs] f32,
+    # S..2S-1 u0 stages [2^s, L, bs] int8, 2S: lperm [S, L, bs] int32,
+    # 2S+1: uperm, 2S+2: pm [L, bs] f32, 2S+3: cw [n, L, bs] int8
+    I_LP, I_UP, I_PM, I_CW = 2 * S, 2 * S + 1, 2 * S + 2, 2 * S + 3
+
+    def read(seg, perm_row):
+        return jnp.take_along_axis(seg, perm_row[None], axis=1)
+
+    def make_descent(d):
+        def branch(carry):
+            lperm, uperm = carry[I_LP], carry[I_UP]
+            w = 1 << (d + 1)
+            a = (llr_bc if (d + 1) == S
+                 else read(carry[d + 1], lperm[d + 1]))
+            left = read(carry[S + d], uperm[d])
+            cur = g_op(a[:w // 2], a[w // 2:], left)
+            upd = [(d, cur)]
+            for s in range(d, 0, -1):
+                h = 1 << (s - 1)
+                cur = f(cur[:h], cur[h:], llr_max)
+                upd.append((s - 1, cur))
+            upd.append((I_LP, lperm.at[0:d + 1].set(ident)))
+            return _replace_many(carry, upd)
+        return branch
+
+    def root_descent(carry):
+        cur = llr_bc
+        upd = []
+        for s in range(S, 0, -1):
+            h = 1 << (s - 1)
+            cur = f(cur[:h], cur[h:], llr_max)
+            upd.append((s - 1, cur))
+        upd.append((I_LP, carry[I_LP].at[0:S].set(ident)))
+        return _replace_many(carry, upd)
+
+    descent_branches = [make_descent(d) for d in range(S)] + [root_descent]
+
+    def make_rise(r):
+        def branch(carry_ubit):
+            carry, ubit = carry_ubit[:-1], carry_ubit[-1]
+            uperm = carry[I_UP]
+            cur = ubit
+            for s in range(r):
+                left = read(carry[S + s], uperm[s])
+                cur = jnp.concatenate([left ^ cur, cur], axis=0)
+            if r < S:
+                return _replace_many(
+                    carry, [(S + r, cur),
+                            (I_UP, uperm.at[r].set(ident))]) + (ubit,)
+            return _replace(carry, I_CW, cur) + (ubit,)
+        return branch
+
+    rise_branches = [make_rise(r) for r in range(S + 1)]
+
+    def frozen_leaf(op):
+        lperm, uperm, pm, llr0 = op
+        pm = pm + _softplus(-clip(llr0[0]))
+        return lperm, uperm, pm, jnp.zeros((1, L, bs), jnp.int8)
+
+    def fork_leaf(op):
+        lperm, uperm, pm, llr0 = op
+        v = clip(llr0[0])  # [L, bs]
+        pmc = jnp.concatenate([pm + _softplus(-v), pm + _softplus(v)],
+                              axis=0)  # [2L, bs]
+        neg_vals, idx = lax.top_k(-pmc.T, L)  # [bs, L]
+        pm = (-neg_vals).T
+        parent = (idx % L).T.astype(jnp.int32)  # [L, bs]
+        ubit = (idx // L).T.astype(jnp.int8)[None]  # [1, L, bs]
+        lperm = jnp.take_along_axis(lperm, parent[None], axis=1)
+        uperm = jnp.take_along_axis(uperm, parent[None], axis=1)
+        return lperm, uperm, pm, ubit
+
+    def body(carry, x):
+        desc_id, rise_id, is_frozen = x
+        carry = lax.switch(desc_id, descent_branches, carry)
+        llr0 = read(carry[0], carry[I_LP][0])
+        lperm, uperm, pm, ubit = lax.cond(
+            is_frozen, frozen_leaf, fork_leaf,
+            (carry[I_LP], carry[I_UP], carry[I_PM], llr0))
+        carry = _replace_many(carry, [(I_LP, lperm), (I_UP, uperm),
+                                      (I_PM, pm)])
+        carry = lax.switch(rise_id, rise_branches, carry + (ubit,))[:-1]
+        return carry, None
+
+    lbufs = tuple(jnp.zeros((1 << s, L, bs), jnp.float32) for s in range(S))
+    u0s = tuple(jnp.zeros((1 << s, L, bs), jnp.int8) for s in range(S))
+    lperm0 = jnp.broadcast_to(ident[None], (S, L, bs)).astype(jnp.int32)
+    # path 0 live, clones start at +llr_max penalty (reference
+    # polar_scl.py:193-195)
+    pm0 = jnp.full((L, bs), llr_max, jnp.float32).at[0].set(0.0)
+    cw0 = jnp.zeros((n, L, bs), jnp.int8)
+    carry = lbufs + u0s + (lperm0, lperm0, pm0, cw0)
+    carry, _ = lax.scan(
+        body, carry,
+        (jnp.asarray(desc_ids), jnp.asarray(rise_ids), frozen))
+    return polar_transform(carry[I_CW], axis=0), carry[I_PM]
+
+
+# ----------------------------------------------------------------------
+# Two-level hybrid sweeps: scan over super-leaves, unrolled subtrees
+# ----------------------------------------------------------------------
+# Measured on TPU v5e (n=1024, L=8, bs=1024): the leaf-per-iteration scans
+# above are bound NOT by f/g compute or forks but by the carry volume that
+# every lax.switch round-trips each iteration (~45 MB x 2 switches x n
+# iterations). Processing one *subtree of 2^b leaves* per iteration keeps
+# the big upper-stage carry traffic at n/2^b iterations while the subtree
+# itself is straight-line code on small local values.
+
+DEFAULT_LOWER_STAGES = 5  # 32-leaf subtrees
+
+
+def _super_schedule(m: int, top: int):
+    """(descent_id, rise_id) for m super-leaves; descent branch t = g-entry
+    t stages above the subtree root (t=top means the all-f root descent),
+    rise branch r = number of upward combines after the subtree."""
+    desc = np.array([top] + [_ctz(j) for j in range(1, m)], dtype=np.int32)
+    rise = np.array([_cto(j) for j in range(m)], dtype=np.int32)
+    return desc, rise
+
+
+def sc_sweep_hybrid(llr_ch, frozen_mask, mode: str = "minsum",
+                    llr_max: float = 30.0,
+                    lower_stages: int = DEFAULT_LOWER_STAGES):
+    """Two-level SC sweep; bit-identical to ``sc_sweep``. ``llr_ch``:
+    [n, bs] true LLRs -> decisions ``u`` [n, bs] int8.
+
+    The per-super-leaf emissions are *stage-b* partial sums (the subtree's
+    own codeword), so the decisions come from a width-2^b transform per
+    block — the full-width codeword is never materialized."""
+    n, bs = llr_ch.shape
+    S = int(np.log2(n))
+    b = min(int(lower_stages), S - 1)
+    if b < 1:
+        return sc_sweep(llr_ch, frozen_mask, mode, llr_max)
+    f = F_FUNCTIONS[mode]
+    w_sub = 1 << b
+    m = n >> b
+    top = S - b  # number of upper stages
+    desc_ids, rise_ids = _super_schedule(m, top)
+    frozen = np.asarray(frozen_mask).reshape(m, w_sub)
+
+    # carry: lb stages b+1..S-1 (top-1 arrays), u0 stages b..S-1 (top arrays)
+    def lb_shape(t):  # t in 0..top-2 <-> stage b+1+t
+        return (1 << (b + 1 + t), bs)
+
+    def u0_shape(t):  # t in 0..top-1 <-> stage b+t
+        return (1 << (b + t), bs)
+
+    N_LB = top - 1
+
+    def build_descent(t):
+        def branch(carry):
+            lbs, u0s = list(carry[:N_LB]), carry[N_LB:]
+            s_top = b + t + 1
+            a = llr_ch if s_top == S else lbs[t]
+            h = 1 << (b + t)
+            cur = g_op(a[:h], a[h:], u0s[t])
+            if t >= 1:
+                lbs[t - 1] = cur  # stage b+t stored for future g-reads
+            for s in range(b + t, b, -1):
+                h2 = 1 << (s - 1)
+                cur = f(cur[:h2], cur[h2:], llr_max)
+                if s - 1 > b:
+                    lbs[s - 2 - b] = cur
+            return tuple(lbs) + u0s, cur
+        return branch
+
+    def root_descent(carry):
+        lbs, u0s = list(carry[:N_LB]), carry[N_LB:]
+        cur = llr_ch
+        for s in range(S, b, -1):
+            h2 = 1 << (s - 1)
+            cur = f(cur[:h2], cur[h2:], llr_max)
+            if s - 1 > b:
+                lbs[s - 2 - b] = cur
+        return tuple(lbs) + u0s, cur
+
+    descent_branches = [build_descent(t) for t in range(top)] + \
+        [root_descent]
+
+    def build_rise(r):
+        def branch(carry_cw):
+            carry, cwj = carry_cw[:-1], carry_cw[-1]
+            lbs, u0s = carry[:N_LB], list(carry[N_LB:])
+            cur = cwj
+            for t in range(r):
+                cur = jnp.concatenate([u0s[t] ^ cur, cur], axis=0)
+            if r < top:
+                u0s[r] = cur
+            return lbs + tuple(u0s) + (cwj,)
+        return branch
+
+    rise_branches = [build_rise(r) for r in range(top + 1)]
+
+    def subtree(a, frz):
+        """Unrolled SC decode of one width-2^b subtree. ``a``: [2^b, bs]
+        LLRs; ``frz``: [2^b] traced bools. Returns codeword [2^b, bs]."""
+        def node(s, lo, av):
+            if s == 0:
+                return jnp.where(frz[lo],
+                                 jnp.zeros_like(av, dtype=jnp.int8),
+                                 (av <= 0).astype(jnp.int8))
+            h = 1 << (s - 1)
+            u_l = node(s - 1, lo, f(av[:h], av[h:], llr_max))
+            u_r = node(s - 1, lo + h, g_op(av[:h], av[h:], u_l))
+            return jnp.concatenate([u_l ^ u_r, u_r], axis=0)
+        return node(b, 0, a)
+
+    def body(carry, x):
+        desc_id, rise_id, frz = x
+        carry, a = lax.switch(desc_id, descent_branches, carry)
+        cwj = subtree(a, frz)
+        carry = lax.switch(rise_id, rise_branches, carry + (cwj,))[:-1]
+        return carry, cwj
+
+    lbs0 = tuple(jnp.zeros(lb_shape(t), jnp.float32) for t in range(N_LB))
+    u0s0 = tuple(jnp.zeros(u0_shape(t), jnp.int8) for t in range(top))
+    _, cws = lax.scan(body, lbs0 + u0s0,
+                      (jnp.asarray(desc_ids), jnp.asarray(rise_ids),
+                       jnp.asarray(frozen)))
+    u = polar_transform(cws, axis=1)  # [m, 2^b, bs]: per-subtree involution
+    return u.reshape(n, bs)
+
+
+def scl_sweep_hybrid(llr_ch, frozen_mask, list_size: int,
+                     mode: str = "minsum", llr_max: float = 30.0,
+                     lower_stages: int = DEFAULT_LOWER_STAGES):
+    """Two-level SCL sweep; bit-identical to ``scl_sweep`` (same candidate
+    ordering, PM updates, and top_k tie behavior). Returns ``(u [n, L, bs]
+    int8, pm [L, bs])`` like ``scl_sweep``.
+
+    Fork bookkeeping: path pointers for the *upper* stages (as in
+    ``scl_sweep``); *local* subtree values are permuted directly (they are
+    small and live in registers/VMEM). The final codeword is stitched from
+    per-super-leaf emissions ``cw_j`` using the per-super-leaf parent-map
+    compositions ``P_j`` (survivor backtracking across scan steps), so no
+    O(n·L·bs) codeword buffer rides the carry.
+    """
+    n, bs = llr_ch.shape
+    S = int(np.log2(n))
+    L = int(list_size)
+    b = min(int(lower_stages), S - 1)
+    if b < 1:
+        return scl_sweep(llr_ch, frozen_mask, L, mode, llr_max)
+    f = F_FUNCTIONS[mode]
+    w_sub = 1 << b
+    m = n >> b
+    top = S - b
+    desc_ids, rise_ids = _super_schedule(m, top)
+    frozen = np.asarray(frozen_mask).reshape(m, w_sub)
+    llr_bc = jnp.broadcast_to(llr_ch[:, None, :], (n, L, bs))
+    ident = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[:, None],
+                             (L, bs))
+    clip = lambda x: jnp.clip(x, -llr_max, llr_max)
+
+    # carry: lb stages b+1..S-1 (N_LB arrays), u0 stages b..S-1 (top
+    # arrays), lperm [N_LB, L, bs], uperm [top, L, bs], pm [L, bs]
+    N_LB = top - 1
+    I_LP, I_UP, I_PM = N_LB + top, N_LB + top + 1, N_LB + top + 2
+
+    def read(seg, perm_row):
+        return jnp.take_along_axis(seg, perm_row[None], axis=1)
+
+    def build_descent(t):
+        def branch(carry):
+            lbs = list(carry[:N_LB])
+            u0s = carry[N_LB:N_LB + top]
+            lperm, uperm = carry[I_LP], carry[I_UP]
+            s_top = b + t + 1
+            a = (llr_bc if s_top == S
+                 else read(lbs[t], lperm[t]))
+            h = 1 << (b + t)
+            left = read(u0s[t], uperm[t])
+            cur = g_op(a[:h], a[h:], left)
+            if t >= 1:
+                lbs[t - 1] = cur
+            for s in range(b + t, b, -1):
+                h2 = 1 << (s - 1)
+                cur = f(cur[:h2], cur[h2:], llr_max)
+                if s - 1 > b:
+                    lbs[s - 2 - b] = cur
+            if t >= 1:
+                lperm = lperm.at[0:t].set(ident)
+            out = tuple(lbs) + carry[N_LB:I_LP] + (lperm,) + carry[I_UP:]
+            return out, cur
+        return branch
+
+    def root_descent(carry):
+        lbs = list(carry[:N_LB])
+        cur = llr_bc
+        for s in range(S, b, -1):
+            h2 = 1 << (s - 1)
+            cur = f(cur[:h2], cur[h2:], llr_max)
+            if s - 1 > b:
+                lbs[s - 2 - b] = cur
+        lperm = (carry[I_LP].at[:].set(ident) if N_LB else carry[I_LP])
+        out = tuple(lbs) + carry[N_LB:I_LP] + (lperm,) + carry[I_UP:]
+        return out, cur
+
+    # (root_descent only runs at super-leaf 0, where all perms are identity
+    # anyway — the .set(ident) keeps the pytree write-set uniform)
+
+    descent_branches = [build_descent(t) for t in range(top)] + \
+        [root_descent]
+
+    def build_rise(r):
+        def branch(carry_cw):
+            carry, cwj = carry_cw[:-1], carry_cw[-1]
+            u0s = list(carry[N_LB:N_LB + top])
+            uperm = carry[I_UP]
+            cur = cwj
+            for t in range(r):
+                left = read(u0s[t], uperm[t])
+                cur = jnp.concatenate([left ^ cur, cur], axis=0)
+            if r < top:
+                u0s[r] = cur
+                uperm = uperm.at[r].set(ident)
+            out = (carry[:N_LB] + tuple(u0s) + (carry[I_LP], uperm)
+                   + carry[I_PM:])
+            return out + (cwj,)
+        return branch
+
+    rise_branches = [build_rise(r) for r in range(top + 1)]
+
+    def subtree(a, frz, lperm, uperm, pm):
+        """Unrolled width-2^b SCL subtree. Returns
+        (cw_j [2^b, L, bs], P_j [L, bs], lperm, uperm, pm).
+
+        Dispatch-optimized (every XLA op costs ~5 us of launch overhead on
+        this backend, so op COUNT per leaf is the figure of merit):
+
+        * all live local segments sit in ONE packed f32 buffer ``lloc`` and
+          ONE packed int8 buffer ``uloc`` (stage s at offset 2^s - 1), so a
+          fork permutes paths with exactly 3 gathers (lloc, uloc, and the
+          perm/P pack) instead of one gather per live segment;
+        * the frozen/info distinction is BRANCHLESS: the fork candidates
+          and top_k are computed unconditionally and the results selected
+          with ``where`` — a TPU conditional costs far more than the wasted
+          top_k, and the selected values are bit-identical to the cond
+          version (frozen leaves select pm+softplus(-v), identity parents,
+          zero bits).
+        """
+        W = (1 << (b + 1)) - 1
+        off = lambda s: (1 << s) - 1
+        pack = jnp.concatenate([ident[None].astype(jnp.int32), lperm, uperm],
+                               axis=0)  # [1 + N_LB + top, L, bs]
+        lloc = jnp.zeros((W, L, bs), jnp.float32)
+        lloc = lloc.at[off(b):off(b + 1)].set(a)
+        uloc = jnp.zeros((W, L, bs), jnp.int8)
+        _, dsub, rsub = leaf_schedule(w_sub)
+        zeros_bit = jnp.zeros((1, L, bs), jnp.int8)
+        cwj = None
+        for i in range(w_sub):
+            d, r = int(dsub[i]), int(rsub[i])
+            # descent: g-entry at stage d (or all-f root for leaf 0)
+            if i == 0:
+                cur = a
+                for s in range(b, 0, -1):
+                    h = 1 << (s - 1)
+                    cur = f(cur[:h], cur[h:], llr_max)
+                    lloc = lloc.at[off(s - 1):off(s)].set(cur)
+            else:
+                aseg = lloc[off(d + 1):off(d + 2)]
+                h = 1 << d
+                cur = g_op(aseg[:h], aseg[h:], uloc[off(d):off(d + 1)])
+                lloc = lloc.at[off(d):off(d + 1)].set(cur)
+                for s in range(d, 0, -1):
+                    h = 1 << (s - 1)
+                    cur = f(cur[:h], cur[h:], llr_max)
+                    lloc = lloc.at[off(s - 1):off(s)].set(cur)
+            # branchless leaf fork
+            v = clip(cur[0])  # stage-0 LLR [L, bs]
+            sp_n = _softplus(-v)
+            pmc = jnp.concatenate([pm + sp_n, pm + _softplus(v)], axis=0)
+            neg_vals, idxk = lax.top_k(-pmc.T, L)  # [bs, L]
+            frz_i = frz[i]
+            pm = jnp.where(frz_i, pm + sp_n, (-neg_vals).T)
+            parent = jnp.where(frz_i, ident, (idxk % L).T.astype(jnp.int32))
+            ubit = jnp.where(frz_i, zeros_bit,
+                             (idxk // L).T.astype(jnp.int8)[None])
+            p3 = parent[None]
+            lloc = jnp.take_along_axis(lloc, p3, axis=1)
+            uloc = jnp.take_along_axis(uloc, p3, axis=1)
+            pack = jnp.take_along_axis(pack, p3, axis=1)
+            # rise: combine partial sums upward through cto(i) stages
+            cur_u = ubit
+            for s in range(min(r, b)):
+                left = uloc[off(s):off(s + 1)]
+                cur_u = jnp.concatenate([left ^ cur_u, cur_u], axis=0)
+            if r >= b:
+                cwj = cur_u  # width 2^b: the subtree codeword (last leaf)
+            else:
+                uloc = uloc.at[off(r):off(r + 1)].set(cur_u)
+        return (cwj, pack[0], pack[1:1 + N_LB], pack[1 + N_LB:], pm)
+
+    def body(carry, x):
+        desc_id, rise_id, frz = x
+        carry, a = lax.switch(desc_id, descent_branches, carry)
+        cwj, Pj, lperm, uperm, pm = subtree(
+            a, frz, carry[I_LP], carry[I_UP], carry[I_PM])
+        carry = carry[:I_LP] + (lperm, uperm, pm)
+        carry = lax.switch(rise_id, rise_branches, carry + (cwj,))[:-1]
+        return carry, (cwj, Pj)
+
+    lbs0 = tuple(jnp.zeros((1 << (b + 1 + t), L, bs), jnp.float32)
+                 for t in range(N_LB))
+    u0s0 = tuple(jnp.zeros((1 << (b + t), L, bs), jnp.int8)
+                 for t in range(top))
+    lperm0 = (jnp.broadcast_to(ident[None], (N_LB, L, bs)).astype(jnp.int32)
+              if N_LB else jnp.zeros((0, L, bs), jnp.int32))
+    uperm0 = jnp.broadcast_to(ident[None], (top, L, bs)).astype(jnp.int32)
+    pm0 = jnp.full((L, bs), llr_max, jnp.float32).at[0].set(0.0)
+    carry = lbs0 + u0s0 + (lperm0, uperm0, pm0)
+    carry, (cws, Ps) = lax.scan(
+        body, carry,
+        (jnp.asarray(desc_ids), jnp.asarray(rise_ids),
+         jnp.asarray(frozen)))
+    pm = carry[I_PM]
+
+    # survivor backtracking: label_j maps final path slots to the logical
+    # slots at the end of super-leaf j; label_{j-1} = P_j[label_j]
+    def back(label, Pj):
+        prev = jnp.take_along_axis(Pj, label, axis=0)
+        return prev, label
+
+    _, labels = lax.scan(back, ident, Ps, reverse=True)  # [m, L, bs]
+    cw = jnp.take_along_axis(cws, labels[:, None], axis=2)  # [m, 2^b, L, bs]
+    u = polar_transform(cw, axis=1)  # per-subtree involution -> decisions
+    return u.reshape(n, L, bs), pm

@@ -54,7 +54,8 @@ class PolarSCLDecoder:
                  crc_degree=None, use_hybrid_sc: bool = False,
                  use_fast_scl: bool = True, return_crc_status: bool = False,
                  mode: str = "minsum", llr_max: float = 30.0,
-                 ind_iil_inv=None, output_dtype=jnp.float32):
+                 ind_iil_inv=None, schedule: str = "auto",
+                 output_dtype=jnp.float32):
         n = int(n)
         assert len(frozen_pos) <= n
         assert np.log2(n) == int(np.log2(n)), "n must be a power of 2."
@@ -101,6 +102,15 @@ class PolarSCLDecoder:
         # compatibility with SC — same contract as Sionna)
         self._ind_iil_inv = (None if ind_iil_inv is None
                              else np.asarray(ind_iil_inv))
+
+        # program-size/compile-time tradeoff (see scan_core.py docstring):
+        # "unrolled" = O(n) XLA ops with fast-SCL pruning + liveness-pruned
+        # forks; "scan" = O(log^2 n) ops, lazy path pointers, no pruning.
+        from polar_tpu.models.polar.sc import SCAN_THRESHOLD_N
+        assert schedule in ("auto", "unrolled", "scan")
+        if schedule == "auto":
+            schedule = "scan" if n >= SCAN_THRESHOLD_N else "unrolled"
+        self.schedule = schedule
 
         self._jit_decode = jax.jit(self._decode_2d)
 
@@ -219,17 +229,23 @@ class PolarSCLDecoder:
         L, n = self.list_size, self.n
         llr_ch = -llr_logits.astype(jnp.float32).T  # [n, bs] true LLRs
 
-        lbuf = jnp.zeros((n - 1, L, bs), dtype=jnp.float32)
-        u0 = jnp.zeros((n - 1, L, bs), dtype=jnp.int8)
-        # path 0 live, clones start at +llr_max penalty (reference
-        # polar_scl.py:193-195)
-        pm = jnp.full((L, bs), self.llr_max, dtype=jnp.float32)
-        pm = pm.at[0].set(0.0)
+        if self.schedule == "scan":
+            from polar_tpu.models.polar.scan_core import scl_sweep_hybrid
+            u_all, pm = scl_sweep_hybrid(llr_ch, self._frozen_mask, L,
+                                         mode=self.mode,
+                                         llr_max=self.llr_max)
+        else:
+            lbuf = jnp.zeros((n - 1, L, bs), dtype=jnp.float32)
+            u0 = jnp.zeros((n - 1, L, bs), dtype=jnp.int8)
+            # path 0 live, clones start at +llr_max penalty (reference
+            # polar_scl.py:193-195)
+            pm = jnp.full((L, bs), self.llr_max, dtype=jnp.float32)
+            pm = pm.at[0].set(0.0)
+            (lbuf, u0, pm), cw = self._node((lbuf, u0, pm), llr_ch,
+                                            self._S, 0)
+            # decisions u = G c (the polar transform is an involution)
+            u_all = polar_transform(cw, axis=0)  # [n, L, bs]
 
-        (lbuf, u0, pm), cw = self._node((lbuf, u0, pm), llr_ch, self._S, 0)
-
-        # decisions u = G c (polar transform is involutive over GF(2))
-        u_all = polar_transform(cw, axis=0)  # [n, L, bs]
         u_info = jnp.take(u_all, self._info_idx, axis=0)  # [k, L, bs]
 
         crc_valid = None

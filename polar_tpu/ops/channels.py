@@ -80,15 +80,17 @@ class BinaryErasureChannel(BinaryMemorylessChannel):
     """
 
     def __call__(self, key, inputs):
+        # arithmetic in the (straight-through) error indicator, never a
+        # boolean `where` on it — gradients must flow through `e` (the
+        # differentiable-channel capability, discrete_channel.py:56-75)
         x, pb = inputs
         pb = jnp.clip(jnp.asarray(pb, jnp.float32), 0.0, 1.0)
         e = self._sample_errors(key, pb, x.shape)
         if self.return_llrs:
             v = x if self.bipolar_input else 2.0 * x - 1.0
-            v = v * self.llr_max
-            return jnp.where(e == 1, 0.0, v)
+            return v * self.llr_max * (1.0 - e)  # erasure -> LLR 0
         erased_element = 0.0 if self.bipolar_input else -1.0
-        return jnp.where(e == 0, x, erased_element)
+        return x * (1.0 - e) + erased_element * e
 
 
 class BinarySymmetricChannel(BinaryMemorylessChannel):

@@ -72,6 +72,12 @@ def _print_progress(is_final, rt, ebno_db, idx_it, max_mc_iter, bit_errors,
 
 def _make_counted_step(mc_fun, batch_size, soft_estimates):
     """Fuse chain + error counting into one jitted program when possible."""
+    if hasattr(mc_fun, "counted_step"):
+        # already-reduced counters (e.g. parallel.ShardedSystem over a mesh)
+        def distributed(key, ebno_db):
+            return mc_fun.counted_step(key, batch_size, ebno_db)
+        return distributed
+
     if hasattr(mc_fun, "step"):
         def counted(key, ebno_db):
             b, b_hat = mc_fun.step(key, batch_size, ebno_db)

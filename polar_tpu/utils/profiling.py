@@ -1,0 +1,80 @@
+"""Profiling & complexity accounting.
+
+The reference's only tracing is a wall-clock column in the progress table
+plus a dead complexity counter (``x_run_sn_polar/polar/polar_sc.py:26-27``
+sets ``self.complexity`` but never increments it — SURVEY.md section 5).
+Here both become real:
+
+* ``decode_complexity`` — closed-form op counts for SC/SCL sweeps (f/g
+  element ops, fork top-k ops), the meter the reference's ``find_complexity``
+  vestige intended;
+* ``trace`` — a context manager around ``jax.profiler`` emitting a TensorBoard
+  trace directory (works on TPU and CPU);
+* ``flop_estimate`` — XLA's own cost analysis for any jitted callable.
+"""
+
+import contextlib
+from dataclasses import dataclass, asdict
+
+import numpy as np
+import jax
+
+
+@dataclass
+class DecodeComplexity:
+    """Element-op counts for one decode call (per batch element)."""
+    n: int
+    k: int
+    list_size: int
+    f_ops: int        # check-node LLR updates (elements)
+    g_ops: int        # variable-node LLR updates (elements)
+    xor_ops: int      # partial-sum combines (elements)
+    pm_ops: int       # path-metric softplus updates (elements)
+    sort_ops: int     # top-2L selections
+
+    def total(self) -> int:
+        return self.f_ops + self.g_ops + self.xor_ops + self.pm_ops
+
+    def as_dict(self):
+        d = asdict(self)
+        d["total"] = self.total()
+        return d
+
+
+def decode_complexity(n: int, k: int, list_size: int = 1) -> DecodeComplexity:
+    """Closed-form op counts of one SC/SCL decode (no fast-SCL pruning).
+
+    Each of the ``log2(n)`` stages processes ``n/2`` f-elements and ``n/2``
+    g-elements per path; every leaf costs one PM update per path and every
+    info leaf one top-2L selection.
+    """
+    S = int(np.log2(n))
+    L = int(list_size)
+    half = (n // 2) * S
+    return DecodeComplexity(
+        n=n, k=k, list_size=L,
+        f_ops=half * L, g_ops=half * L, xor_ops=half * L,
+        pm_ops=n * L, sort_ops=k if L > 1 else 0)
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """``with trace("/tmp/trace"): run()`` -> TensorBoard trace directory."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def flop_estimate(fn, *args):
+    """XLA cost-analysis FLOP estimate for ``jax.jit(fn)(*args)``."""
+    lowered = jax.jit(fn).lower(*args)
+    compiled = lowered.compile()
+    try:
+        analysis = compiled.cost_analysis()
+        if isinstance(analysis, list):
+            analysis = analysis[0]
+        return float(analysis.get("flops", float("nan")))
+    except Exception:
+        return float("nan")

@@ -1,0 +1,64 @@
+"""Test configuration: force CPU with 8 virtual devices so the multi-chip
+sharding tests (SURVEY.md section 4 test pyramid, item d) run anywhere."""
+
+import os
+
+# must happen before jax initializes a backend; the environment may pin
+# JAX_PLATFORMS to a TPU plugin globally (and plugin registration can
+# override the env var via jax.config), so force the config explicitly
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+# persistent XLA compile cache: repeat test runs skip recompilation
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/polar_tpu_xla_tests"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def load_fixture(name):
+    path = os.path.join(FIXTURE_DIR, name)
+    if not os.path.exists(path):
+        pytest.skip(f"fixture {name} not generated (run tests/make_fixtures.py)")
+    return np.load(path)
+
+
+@pytest.fixture(scope="session")
+def decoders_fix():
+    return load_fixture("decoders.npz")
+
+
+@pytest.fixture(scope="session")
+def construction_fix():
+    return load_fixture("construction.npz")
+
+
+@pytest.fixture(scope="session")
+def crc_fix():
+    return load_fixture("crc.npz")
+
+
+@pytest.fixture(scope="session")
+def mapping_fix():
+    return load_fixture("mapping.npz")
+
+
+@pytest.fixture(scope="session")
+def polar5g_fix():
+    return load_fixture("polar5g.npz")
+
+
+@pytest.fixture(scope="session")
+def osd_fix():
+    return load_fixture("osd.npz")

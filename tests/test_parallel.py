@@ -1,0 +1,88 @@
+"""Multi-chip tests on a virtual 8-device CPU mesh (SURVEY.md section 4,
+test pyramid item d): sharded execution must compile, run, and produce the
+same statistics as single-device execution with the same folded keys."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from polar_tpu.parallel import make_mesh, ShardedSystem
+from polar_tpu.sim import sim_ber, count_errors, count_block_errors
+from polar_tpu.models.systems import SystemAWGNModel
+from polar_tpu.models.polar.encode import PolarEncoder
+from polar_tpu.models.polar.sc import PolarSCDecoder
+from polar_tpu.models.polar.scl import PolarSCLDecoder
+from polar_tpu.models.polar.construction import generate_5g_ranking
+
+
+def _model(k=16, n=32, decoder="sc"):
+    frozen, _ = generate_5g_ranking(k, n)
+    enc = PolarEncoder(frozen, n)
+    dec = (PolarSCDecoder(frozen, n) if decoder == "sc"
+           else PolarSCLDecoder(frozen, n, list_size=4))
+    return SystemAWGNModel(n, k, enc, dec)
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8  # conftest forces 8 virtual CPU devices
+
+
+@pytest.mark.parametrize("decoder", ["sc", "scl"])
+def test_sharded_equals_manual_shards(decoder):
+    """psum-reduced counters == manually summing each shard's chain."""
+    model = _model(decoder=decoder)
+    mesh = make_mesh(8)
+    sharded = ShardedSystem(model, mesh)
+    key = jax.random.PRNGKey(0)
+    bs = 64
+    bit_e, blk_e, nb, nblk = sharded.counted_step(key, bs, jnp.float32(2.0))
+    assert nb == bs * model.k and nblk == bs
+
+    want_bit = want_blk = 0
+    for shard in range(8):
+        k_s = jax.random.fold_in(key, shard)
+        b, b_hat = model.step(k_s, bs // 8, jnp.float32(2.0))
+        want_bit += int(count_errors(b, b_hat))
+        want_blk += int(count_block_errors(b, b_hat))
+    assert int(bit_e) == want_bit
+    assert int(blk_e) == want_blk
+
+
+def test_sharded_sim_ber_runs_and_is_reproducible():
+    model = _model()
+    sharded = ShardedSystem(model, make_mesh(8))
+    r1 = sim_ber(sharded, [1.0, 3.0], batch_size=128, max_mc_iter=3,
+                 seed=3, verbose=False)
+    r2 = sim_ber(sharded, [1.0, 3.0], batch_size=128, max_mc_iter=3,
+                 seed=3, verbose=False)
+    np.testing.assert_array_equal(r1[0], r2[0])
+    np.testing.assert_array_equal(r1[1], r2[1])
+    assert np.all(r1[0] >= 0) and np.all(r1[0] <= 1)
+
+
+def test_sharded_statistics_match_unsharded():
+    """Same MC estimator: sharded and single-device runs must give BER within
+    Monte-Carlo tolerance of each other on a mid-SNR point."""
+    model = _model()
+    sharded = ShardedSystem(model, make_mesh(8))
+    ber_s, _ = sim_ber(sharded, [2.0], batch_size=512, max_mc_iter=4,
+                       seed=11, verbose=False, early_stop=False)
+    ber_u, _ = sim_ber(model, [2.0], batch_size=512, max_mc_iter=4,
+                       seed=11, verbose=False, early_stop=False)
+    assert abs(ber_s[0] - ber_u[0]) < 0.02
+
+
+def test_sharded_rejects_indivisible_batch():
+    sharded = ShardedSystem(_model(), make_mesh(8))
+    with pytest.raises(AssertionError):
+        sharded.counted_step(jax.random.PRNGKey(0), 12, jnp.float32(1.0))
+
+
+def test_mesh_subset():
+    mesh = make_mesh(4)
+    assert mesh.devices.size == 4
+    sharded = ShardedSystem(_model(), mesh)
+    out = sharded.counted_step(jax.random.PRNGKey(1), 32, jnp.float32(2.0))
+    assert len(out) == 4

@@ -1,0 +1,86 @@
+"""Scan-engine equivalence: the O(log^2 n)-program `lax.scan` sweeps
+(scan_core.py) must be bit-identical to the unrolled-tree decoders."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from polar_tpu.models.polar.sc import PolarSCDecoder
+from polar_tpu.models.polar.scl import PolarSCLDecoder
+from polar_tpu.models.polar.construction import generate_5g_ranking
+
+
+@pytest.mark.parametrize("mode", ["minsum", "exact"])
+@pytest.mark.parametrize("n", [2, 16, 128])
+def test_sc_scan_equals_unrolled(n, mode):
+    k = n // 2
+    frozen, _ = generate_5g_ranking(k, n, strict=False)
+    rng = np.random.default_rng(n)
+    llr = rng.normal(0, 3, size=(16, n)).astype(np.float32)
+    a = PolarSCDecoder(frozen, n, mode=mode,
+                       schedule="unrolled")(jnp.asarray(llr))
+    b = PolarSCDecoder(frozen, n, mode=mode,
+                       schedule="scan")(jnp.asarray(llr))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("list_size", [1, 4])
+@pytest.mark.parametrize("n", [2, 16, 128])
+def test_scl_scan_equals_unrolled(n, list_size):
+    k = n // 2
+    frozen, _ = generate_5g_ranking(k, n, strict=False)
+    rng = np.random.default_rng(n + 1)
+    llr = rng.normal(0, 3, size=(16, n)).astype(np.float32)
+    a = PolarSCLDecoder(frozen, n, list_size=list_size, use_fast_scl=False,
+                        schedule="unrolled")(jnp.asarray(llr))
+    b = PolarSCLDecoder(frozen, n, list_size=list_size,
+                        schedule="scan")(jnp.asarray(llr))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_scl_scan_with_crc_matches_unrolled():
+    n, k = 64, 32
+    frozen, _ = generate_5g_ranking(k, n)
+    rng = np.random.default_rng(4)
+    llr = rng.normal(0, 3, size=(16, n)).astype(np.float32)
+    a = PolarSCLDecoder(frozen, n, list_size=4, crc_degree="CRC11",
+                        use_fast_scl=False,
+                        schedule="unrolled")(jnp.asarray(llr))
+    b = PolarSCLDecoder(frozen, n, list_size=4, crc_degree="CRC11",
+                        schedule="scan")(jnp.asarray(llr))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_auto_schedule_selection():
+    frozen, _ = generate_5g_ranking(16, 32)
+    assert PolarSCDecoder(frozen, 32).schedule == "unrolled"
+    frozen1k, _ = generate_5g_ranking(512, 1024)
+    assert PolarSCDecoder(frozen1k, 1024).schedule == "scan"
+    assert PolarSCLDecoder(frozen1k, 1024).schedule == "scan"
+
+
+@pytest.mark.parametrize("lower_stages", [1, 3, 5])
+def test_hybrid_sweeps_equal_plain(lower_stages):
+    from polar_tpu.models.polar.scan_core import (
+        sc_sweep, sc_sweep_hybrid, scl_sweep, scl_sweep_hybrid)
+    n, k = 64, 32
+    frozen, _ = generate_5g_ranking(k, n)
+    mask = np.zeros(n, bool)
+    mask[frozen] = True
+    rng = np.random.default_rng(7)
+    llr = jnp.asarray(rng.normal(0, 3, (n, 16)), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(sc_sweep(llr, mask)),
+        np.asarray(sc_sweep_hybrid(llr, mask, lower_stages=lower_stages)))
+    ua, pa = scl_sweep(llr, mask, 4)
+    ub, pb = scl_sweep_hybrid(llr, mask, 4, lower_stages=lower_stages)
+    np.testing.assert_array_equal(np.asarray(ua), np.asarray(ub))
+    np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), rtol=1e-6)
+
+
+def test_leaf_schedule():
+    from polar_tpu.models.polar.scan_core import leaf_schedule
+    S, desc, rise = leaf_schedule(8)
+    assert S == 3
+    np.testing.assert_array_equal(desc, [3, 0, 1, 0, 2, 0, 1, 0])
+    np.testing.assert_array_equal(rise, [0, 1, 0, 2, 0, 1, 0, 3])

@@ -1,0 +1,129 @@
+"""SCL decoder tests: parity with both reference SCL variants on identical
+LLR inputs, SCL-1 == SC, fast-SCL equivalence, CRC-aided selection."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from polar_tpu.models.polar.sc import PolarSCDecoder
+from polar_tpu.models.polar.scl import PolarSCLDecoder
+from polar_tpu.models.polar.encode import PolarEncoder
+from polar_tpu.ops.crc import CRCEncoder
+from polar_tpu.models.polar.construction import generate_5g_ranking
+
+
+@pytest.mark.parametrize("n", [64, 256])
+def test_scl_minsum_matches_reference(decoders_fix, n):
+    frozen = decoders_fix[f"n{n}_frozen_pos"]
+    llr = decoders_fix[f"n{n}_llr"]
+    # the x_run reference SCL has no fast-SCL pruning and uses min-sum f
+    # (n=256 uses the scan engine: proven bit-equal to unrolled in
+    # test_scan.py, and far cheaper to compile)
+    sched = "scan" if n >= 256 else "unrolled"
+    dec = PolarSCLDecoder(frozen, n, list_size=4, mode="minsum",
+                          use_fast_scl=False, schedule=sched)
+    got = np.asarray(dec(jnp.asarray(llr)))
+    np.testing.assert_array_equal(got, decoders_fix[f"n{n}_scl4_minsum"])
+
+
+@pytest.mark.parametrize("list_size", [4, 8])
+@pytest.mark.parametrize("n", [64, 256])
+def test_scl_exact_matches_reference(decoders_fix, n, list_size):
+    frozen = decoders_fix[f"n{n}_frozen_pos"]
+    llr = decoders_fix[f"n{n}_llr"]
+    sched = "scan" if n >= 256 else "unrolled"
+    dec = PolarSCLDecoder(frozen, n, list_size=list_size, mode="exact",
+                          use_fast_scl=True, schedule=sched)
+    got = np.asarray(dec(jnp.asarray(llr)))
+    np.testing.assert_array_equal(
+        got, decoders_fix[f"n{n}_scl{list_size}_exact"])
+
+
+@pytest.mark.parametrize("n", [64, 256])
+def test_scl_nofast_matches_reference(decoders_fix, n):
+    frozen = decoders_fix[f"n{n}_frozen_pos"]
+    llr = decoders_fix[f"n{n}_llr"]
+    sched = "scan" if n >= 256 else "unrolled"
+    dec = PolarSCLDecoder(frozen, n, list_size=4, mode="exact",
+                          use_fast_scl=False, schedule=sched)
+    got = np.asarray(dec(jnp.asarray(llr)))
+    np.testing.assert_array_equal(got,
+                                  decoders_fix[f"n{n}_scl4_exact_nofast"])
+
+
+@pytest.mark.parametrize("n", [64, 256])
+def test_scl_crc_matches_reference(decoders_fix, n):
+    frozen = decoders_fix[f"n{n}_frozen_pos"]
+    llr = decoders_fix[f"n{n}_llr"]
+    sched = "scan" if n >= 256 else "unrolled"
+    dec = PolarSCLDecoder(frozen, n, list_size=8, mode="exact",
+                          crc_degree="CRC11", schedule=sched)
+    got = np.asarray(dec(jnp.asarray(llr)))
+    np.testing.assert_array_equal(got, decoders_fix[f"n{n}_scl8_crc11"])
+
+
+@pytest.mark.parametrize("mode", ["minsum", "exact"])
+def test_scl1_equals_sc(mode):
+    # SCL with list size 1 must reproduce SC exactly
+    n, k = 128, 64
+    frozen, _ = generate_5g_ranking(k, n)
+    rng = np.random.default_rng(9)
+    llr = rng.normal(0, 3, size=(32, n)).astype(np.float32)
+    sc = PolarSCDecoder(frozen, n, mode=mode)
+    scl = PolarSCLDecoder(frozen, n, list_size=1, mode=mode,
+                          use_fast_scl=False)
+    np.testing.assert_array_equal(np.asarray(sc(jnp.asarray(llr))),
+                                  np.asarray(scl(jnp.asarray(llr))))
+
+
+def test_fast_scl_equals_plain_scl():
+    n, k = 128, 40  # low rate -> many rate-0/rep nodes get pruned
+    frozen, _ = generate_5g_ranking(k, n)
+    rng = np.random.default_rng(10)
+    llr = rng.normal(0, 3, size=(32, n)).astype(np.float32)
+    a = PolarSCLDecoder(frozen, n, list_size=4, use_fast_scl=True)
+    b = PolarSCLDecoder(frozen, n, list_size=4, use_fast_scl=False)
+    np.testing.assert_array_equal(np.asarray(a(jnp.asarray(llr))),
+                                  np.asarray(b(jnp.asarray(llr))))
+
+
+def test_scl_roundtrip_noiseless():
+    n, k = 64, 32
+    frozen, _ = generate_5g_ranking(k, n)
+    enc = PolarEncoder(frozen, n)
+    dec = PolarSCLDecoder(frozen, n, list_size=8)
+    rng = np.random.default_rng(11)
+    u = rng.integers(0, 2, size=(16, k)).astype(np.float32)
+    c = np.asarray(enc(jnp.asarray(u)))
+    logits = (2.0 * c - 1.0) * 10.0
+    np.testing.assert_array_equal(np.asarray(dec(jnp.asarray(logits))), u)
+
+
+def test_scl_crc_status():
+    n, k = 64, 32
+    frozen, _ = generate_5g_ranking(k, n)
+    enc = PolarEncoder(frozen, n)
+    crc = CRCEncoder("CRC11", k=k - 11)
+    dec = PolarSCLDecoder(frozen, n, list_size=8, crc_degree="CRC11",
+                          return_crc_status=True)
+    rng = np.random.default_rng(12)
+    u = rng.integers(0, 2, size=(8, k - 11)).astype(np.float32)
+    c = np.asarray(enc(crc(jnp.asarray(u))))
+    logits = (2.0 * c - 1.0) * 10.0
+    u_hat, status = dec(jnp.asarray(logits))
+    np.testing.assert_array_equal(np.asarray(u_hat)[:, :k - 11], u)
+    assert bool(jnp.all(status))
+    # garbage input -> CRC should fail almost surely
+    _, status_bad = dec(jnp.asarray(
+        rng.normal(0, 1, size=(8, n)).astype(np.float32)))
+    assert not bool(jnp.all(status_bad))
+
+
+def test_scl_rejects_bad_args():
+    frozen, _ = generate_5g_ranking(8, 16)
+    with pytest.raises(AssertionError):
+        PolarSCLDecoder(frozen, 16, list_size=3)  # not a power of 2
+    with pytest.raises(NotImplementedError):
+        PolarSCLDecoder(frozen, 16, use_hybrid_sc=True)
+    with pytest.raises(ValueError):
+        PolarSCLDecoder(frozen, 16, return_crc_status=True)  # needs CRC
