@@ -1,0 +1,179 @@
+"""Fused Pallas TPU kernel for the width-2^b SCL subtree.
+
+One ``pallas_call`` replaces the ~700 XLA ops of the unrolled subtree in
+``scan_core.scl_sweep_hybrid`` (measured ~5 us of launch overhead per XLA op
+on TPU v5e makes op COUNT the bottleneck, not FLOPs). Inside the kernel all
+32 leaves run back-to-back on VMEM-resident state:
+
+* workspaces ``lloc`` (LLR segments, f32) and ``uloc`` (partial sums, int32)
+  live in VMEM scratch with the compact stage layout (stage s at offset
+  2^s - 1);
+* forks never copy segments: per-stage **path pointers** (logical->physical
+  [L, TB] maps) are re-indexed by the fork's parent selection (one stacked
+  gather), and every segment read gathers through its stage pointer — the
+  sublane-axis ``take_along_axis`` lowers to the VPU's dynamic-gather;
+* the top-L-of-2L survivor selection is L rounds of (min, masked-index-min,
+  mask-out) — pure min/where reductions with ``lax.top_k``'s exact tie
+  semantics (equal path metrics -> lower candidate index wins), verified
+  bit-identical against the XLA engines in tests/test_scan.py;
+* frozen leaves are branchless: candidates are computed unconditionally and
+  the frozen results (pm + softplus(-v), identity parents, zero bits)
+  selected with ``where`` — identical values, no TPU conditional.
+
+The kernel grids over batch tiles (lanes); L=8 rides the f32 sublane tile
+exactly. CPU (tests) runs the same kernel under ``interpret=True``.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from polar_tpu.ops.fg import F_FUNCTIONS, g as g_op
+from polar_tpu.models.polar.scan_core import leaf_schedule
+
+_BIG = 3.0e38  # plain float: jnp constants would be captured by the kernel
+
+
+def _g8(x2d, ptr):
+    """Gather rows of a [L=8, TB] 32-bit tile by per-lane row index.
+
+    Mosaic's dynamic-gather lowers ``take_along_axis`` only for exactly one
+    f32 (8, lanes) tile; integer payloads ride a bitcast (pure data
+    movement, so denormal patterns survive)."""
+    if x2d.dtype != jnp.float32:
+        xf = lax.bitcast_convert_type(x2d, jnp.float32)
+        return lax.bitcast_convert_type(
+            jnp.take_along_axis(xf, ptr, axis=0), x2d.dtype)
+    return jnp.take_along_axis(x2d, ptr, axis=0)
+
+
+def _subtree_kernel(frz_ref, a_ref, pm_ref, cw_ref, p_ref, pmo_ref,
+                    lloc, uloc, *, b, L, llr_max, mode):
+    f = F_FUNCTIONS[mode]
+    w_sub = 1 << b
+    TB = a_ref.shape[-1]
+    off = lambda s: (1 << s) - 1
+    _, dsub, rsub = leaf_schedule(w_sub)
+    ident = lax.broadcasted_iota(jnp.int32, (L, TB), 0)
+    iota2l = lax.broadcasted_iota(jnp.int32, (2 * L, TB), 0)
+    clip = lambda x: jnp.clip(x, -llr_max, llr_max)
+    softplus = lambda x: jnp.logaddexp(0.0, x)
+
+    lptr = [ident] * (b + 1)   # stage-s pointer for lloc
+    uptr = [ident] * b         # stage-s pointer for uloc
+    P = ident                  # parent-map composition over the subtree
+    pm = pm_ref[:]
+    lloc[off(b):off(b + 1)] = a_ref[:]
+
+    def readl(s):
+        seg = lloc[off(s):off(s + 1)]
+        return jnp.stack([_g8(seg[j], lptr[s])
+                          for j in range(1 << s)], axis=0)
+
+    def readu(s):
+        seg = uloc[off(s):off(s + 1)]
+        return jnp.stack([_g8(seg[j], uptr[s])
+                          for j in range(1 << s)], axis=0)
+
+    for i in range(w_sub):
+        d, r = int(dsub[i]), int(rsub[i])
+        # ---- descent to stage 0 ----
+        if i == 0:
+            cur = a_ref[:]
+            for s in range(b, 0, -1):
+                h = 1 << (s - 1)
+                cur = f(cur[:h], cur[h:], llr_max)
+                lloc[off(s - 1):off(s)] = cur
+                lptr[s - 1] = ident
+        else:
+            seg = readl(d + 1)
+            h = 1 << d
+            cur = g_op(seg[:h], seg[h:], readu(d))
+            lloc[off(d):off(d + 1)] = cur
+            lptr[d] = ident
+            for s in range(d, 0, -1):
+                h = 1 << (s - 1)
+                cur = f(cur[:h], cur[h:], llr_max)
+                lloc[off(s - 1):off(s)] = cur
+                lptr[s - 1] = ident
+        # ---- branchless leaf fork ----
+        v = clip(cur[0])                       # [L, TB]
+        sp_n = softplus(-v)
+        pmc = jnp.concatenate([pm + sp_n, pm + softplus(v)], axis=0)
+        tmp = pmc
+        vals, idxs = [], []
+        for _j in range(L):  # iterative min extraction == top_k ties
+            val = jnp.min(tmp, axis=0, keepdims=True)   # [1, TB]
+            idx = jnp.min(jnp.where(tmp == val, iota2l, 2 * L),
+                          axis=0, keepdims=True)
+            vals.append(val)
+            idxs.append(idx)
+            tmp = jnp.where(iota2l == idx, _BIG, tmp)
+        pm_fork = jnp.concatenate(vals, axis=0)         # [L, TB] ascending
+        sel = jnp.concatenate(idxs, axis=0).astype(jnp.int32)
+        frz_i = frz_ref[i] != 0
+        pm = jnp.where(frz_i, pm + sp_n, pm_fork)
+        parent = jnp.where(frz_i, ident, sel % L)
+        ubit = jnp.where(frz_i, jnp.zeros((L, TB), jnp.int32),
+                         sel // L)[None]       # [1, L, TB]
+        lptr = [_g8(p, parent) for p in lptr]
+        uptr = [_g8(p, parent) for p in uptr]
+        P = _g8(P, parent)
+        # ---- rise: combine partial sums upward ----
+        cur_u = ubit
+        for s in range(min(r, b)):
+            cur_u = jnp.concatenate([readu(s) ^ cur_u, cur_u], axis=0)
+        if r >= b:
+            cw_ref[:] = cur_u                  # subtree codeword (last leaf)
+        else:
+            uloc[off(r):off(r + 1)] = cur_u
+            uptr[r] = ident
+    p_ref[:] = P
+    pmo_ref[:] = pm
+
+
+@functools.partial(jax.jit, static_argnames=("b", "L", "llr_max", "mode",
+                                             "interpret", "tile"))
+def subtree_pallas(a, frz, pm, *, b, L, llr_max, mode, interpret=False,
+                   tile=512):
+    """Run the fused subtree kernel. ``a``: [2^b, L, bs] f32 stage-b LLRs,
+    ``frz``: [2^b] int32, ``pm``: [L, bs] f32. Returns
+    (cw [2^b, L, bs] int32, P [L, bs] int32, pm [L, bs] f32)."""
+    w_sub, L_, bs = a.shape
+    assert w_sub == (1 << b) and L_ == L
+    TB = min(tile, bs)
+    assert bs % TB == 0, f"bs={bs} must be a multiple of the tile {TB}"
+    W = (1 << (b + 1)) - 1
+    grid = (bs // TB,)
+    kern = functools.partial(_subtree_kernel, b=b, L=L,
+                             llr_max=float(llr_max), mode=mode)
+    bspec = lambda rows: pl.BlockSpec((rows, L, TB),
+                                      lambda i: (0, 0, i),
+                                      memory_space=pltpu.VMEM)
+    bspec2 = pl.BlockSpec((L, TB), lambda i: (0, i),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # frz (whole array)
+            bspec(w_sub),                           # a
+            bspec2,                                 # pm
+        ],
+        out_specs=[bspec(w_sub), bspec2, bspec2],
+        out_shape=[
+            jax.ShapeDtypeStruct((w_sub, L, bs), jnp.int32),
+            jax.ShapeDtypeStruct((L, bs), jnp.int32),
+            jax.ShapeDtypeStruct((L, bs), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((W, L, TB), jnp.float32),
+            pltpu.VMEM((W, L, TB), jnp.int32),
+        ],
+        interpret=interpret,
+    )(frz, a, pm)

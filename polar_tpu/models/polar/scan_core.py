@@ -401,7 +401,8 @@ def sc_sweep_hybrid(llr_ch, frozen_mask, mode: str = "minsum",
 
 def scl_sweep_hybrid(llr_ch, frozen_mask, list_size: int,
                      mode: str = "minsum", llr_max: float = 30.0,
-                     lower_stages: int = DEFAULT_LOWER_STAGES):
+                     lower_stages: int = DEFAULT_LOWER_STAGES,
+                     use_pallas=None):
     """Two-level SCL sweep; bit-identical to ``scl_sweep`` (same candidate
     ordering, PM updates, and top_k tie behavior). Returns ``(u [n, L, bs]
     int8, pm [L, bs])`` like ``scl_sweep``.
@@ -419,6 +420,12 @@ def scl_sweep_hybrid(llr_ch, frozen_mask, list_size: int,
     b = min(int(lower_stages), S - 1)
     if b < 1:
         return scl_sweep(llr_ch, frozen_mask, L, mode, llr_max)
+    if use_pallas is None:
+        # the fused kernel pays off on real TPUs; CPU tests exercise it
+        # explicitly via interpret mode. Lane-align the batch tile; the
+        # in-kernel path gathers need L to fill one 8-sublane f32 tile.
+        use_pallas = (jax.default_backend() not in ("cpu",)
+                      and bs % 128 == 0 and L == 8)
     f = F_FUNCTIONS[mode]
     w_sub = 1 << b
     m = n >> b
@@ -519,8 +526,8 @@ def scl_sweep_hybrid(llr_ch, frozen_mask, list_size: int,
         """
         W = (1 << (b + 1)) - 1
         off = lambda s: (1 << s) - 1
-        pack = jnp.concatenate([ident[None].astype(jnp.int32), lperm, uperm],
-                               axis=0)  # [1 + N_LB + top, L, bs]
+        P = ident  # parent-map composition; upper perms are re-indexed by
+        # it ONCE at the end (they are never read inside the subtree)
         lloc = jnp.zeros((W, L, bs), jnp.float32)
         lloc = lloc.at[off(b):off(b + 1)].set(a)
         uloc = jnp.zeros((W, L, bs), jnp.int8)
@@ -558,7 +565,7 @@ def scl_sweep_hybrid(llr_ch, frozen_mask, list_size: int,
             p3 = parent[None]
             lloc = jnp.take_along_axis(lloc, p3, axis=1)
             uloc = jnp.take_along_axis(uloc, p3, axis=1)
-            pack = jnp.take_along_axis(pack, p3, axis=1)
+            P = jnp.take_along_axis(P, parent, axis=0)
             # rise: combine partial sums upward through cto(i) stages
             cur_u = ubit
             for s in range(min(r, b)):
@@ -568,13 +575,28 @@ def scl_sweep_hybrid(llr_ch, frozen_mask, list_size: int,
                 cwj = cur_u  # width 2^b: the subtree codeword (last leaf)
             else:
                 uloc = uloc.at[off(r):off(r + 1)].set(cur_u)
-        return (cwj, pack[0], pack[1:1 + N_LB], pack[1 + N_LB:], pm)
+        P3 = P[None]
+        lperm = jnp.take_along_axis(lperm, P3, axis=1) if N_LB else lperm
+        uperm = jnp.take_along_axis(uperm, P3, axis=1)
+        return (cwj, P, lperm, uperm, pm)
 
     def body(carry, x):
         desc_id, rise_id, frz = x
         carry, a = lax.switch(desc_id, descent_branches, carry)
-        cwj, Pj, lperm, uperm, pm = subtree(
-            a, frz, carry[I_LP], carry[I_UP], carry[I_PM])
+        if use_pallas:
+            from polar_tpu.models.polar.pallas_scl import subtree_pallas
+            interp = jax.default_backend() == "cpu"
+            cw32, Pj, pm = subtree_pallas(
+                a, frz.astype(jnp.int32), carry[I_PM], b=b, L=L,
+                llr_max=float(llr_max), mode=mode, interpret=interp)
+            cwj = cw32.astype(jnp.int8)
+            P3 = Pj[None]
+            lperm = (jnp.take_along_axis(carry[I_LP], P3, axis=1)
+                     if N_LB else carry[I_LP])
+            uperm = jnp.take_along_axis(carry[I_UP], P3, axis=1)
+        else:
+            cwj, Pj, lperm, uperm, pm = subtree(
+                a, frz, carry[I_LP], carry[I_UP], carry[I_PM])
         carry = carry[:I_LP] + (lperm, uperm, pm)
         carry = lax.switch(rise_id, rise_branches, carry + (cwj,))[:-1]
         return carry, (cwj, Pj)

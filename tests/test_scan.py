@@ -78,6 +78,23 @@ def test_hybrid_sweeps_equal_plain(lower_stages):
     np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), rtol=1e-6)
 
 
+@pytest.mark.parametrize("list_size", [4, 8])
+def test_pallas_subtree_equals_xla(list_size):
+    # interpret mode on CPU; the same kernel runs compiled on TPU and is
+    # covered by bench.py / the CLI there
+    from polar_tpu.models.polar.scan_core import scl_sweep, scl_sweep_hybrid
+    n = 128
+    frozen, _ = generate_5g_ranking(n // 2, n)
+    mask = np.zeros(n, bool)
+    mask[frozen] = True
+    rng = np.random.default_rng(13)
+    llr = jnp.asarray(rng.normal(0, 3, (n, 128)), jnp.float32)
+    ua, pa = scl_sweep(llr, mask, list_size)
+    ub, pb = scl_sweep_hybrid(llr, mask, list_size, use_pallas=True)
+    np.testing.assert_array_equal(np.asarray(ua), np.asarray(ub))
+    np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), rtol=1e-5)
+
+
 def test_leaf_schedule():
     from polar_tpu.models.polar.scan_core import leaf_schedule
     S, desc, rise = leaf_schedule(8)
