@@ -33,16 +33,22 @@ def main():
     dec = pt.PolarSCLDecoder(frozen, n, list_size=L)
     model = pt.SystemAWGNModel(n, k, enc, dec)
 
+    from polar_tpu.sim import count_errors
+
+    # error counting fused into the jitted chain (same contract as
+    # sim_ber): only one scalar crosses the host boundary per batch
+    @jax.jit
+    def step(key, ebno_db):
+        b, b_hat = model.step(key, bs, ebno_db)
+        return count_errors(b, b_hat)
+
     # compile + warmup (excluded from timing)
-    b, b_hat = model(jax.random.PRNGKey(0), bs, 2.0)
-    jax.block_until_ready((b, b_hat))
-    float(jnp.sum(b_hat))
+    float(step(jax.random.PRNGKey(0), jnp.float32(2.0)))
 
     t0 = time.perf_counter()
     errs = 0.0
     for it in range(iters):
-        b, b_hat = model(jax.random.PRNGKey(it + 1), bs, 2.0)
-        errs += float(jnp.sum(b != b_hat))  # forces full materialization
+        errs += float(step(jax.random.PRNGKey(it + 1), jnp.float32(2.0)))
     dt = time.perf_counter() - t0
 
     bits = k * bs * iters

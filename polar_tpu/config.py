@@ -29,6 +29,7 @@ class PolarConfig:
     construction: str = "rm"   # "rm" (min-weight, reference CLI) or "5g"
     num_devices: int = 0       # 0 = all local devices (data-parallel MC)
     target_block_errs: int = 1000
+    bp_iter: int = 20          # BP decoder iterations (algos=[...,bp])
     plot_dir: str = "plots"
 
 

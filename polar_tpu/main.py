@@ -21,6 +21,7 @@ from polar_tpu.models.polar.construction import (
 from polar_tpu.models.polar.encode import PolarEncoder
 from polar_tpu.models.polar.sc import PolarSCDecoder
 from polar_tpu.models.polar.scl import PolarSCLDecoder
+from polar_tpu.models.polar.bp import PolarBPDecoder
 from polar_tpu.models.systems import SystemAWGNModel
 from polar_tpu.plotting import PlotBER
 
@@ -41,6 +42,9 @@ def gen_code(c: PolarConfig, name: str, mode: str = "sc"):
         dec = PolarSCDecoder(frozen_pos, c.n, mode=f_mode)
     elif mode == "scl":
         dec = PolarSCLDecoder(frozen_pos, c.n, c.list_size, mode=f_mode)
+    elif mode == "bp":
+        dec = PolarBPDecoder(frozen_pos, c.n, num_iter=c.bp_iter,
+                             mode=f_mode)
     else:
         raise ValueError(f"unknown decode mode {mode!r}")
     model = SystemAWGNModel(c.n, c.k, enc, dec)
@@ -56,6 +60,9 @@ def main(c: PolarConfig = None):
     if "scl" in c.algos:
         codes_under_test.append(
             gen_code(c, f"SCL-{c.list_size}", mode="scl"))
+    if "bp" in c.algos:
+        codes_under_test.append(
+            gen_code(c, f"BP-{c.bp_iter}", mode="bp"))
 
     ber_plot = PlotBER(f"Performance of Short Len Codes (k={c.k}, n={c.n})")
     for model, name in codes_under_test:

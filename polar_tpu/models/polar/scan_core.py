@@ -32,6 +32,8 @@ softplus updates, Stimming Eq. 10), so outputs are bit-identical up to PM
 ties; equivalence is asserted in tests/test_scan.py.
 """
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -283,7 +285,11 @@ def scl_sweep(llr_ch, frozen_mask, list_size: int, mode: str = "minsum",
 # the big upper-stage carry traffic at n/2^b iterations while the subtree
 # itself is straight-line code on small local values.
 
-DEFAULT_LOWER_STAGES = 5  # 32-leaf subtrees
+# 32-leaf subtrees by default; the env knob exists because program size
+# (and hence XLA compile time) scales with 2^lower_stages — the test suite
+# sets 3 to compile ~3x faster with identical outputs (engine-equivalence
+# is asserted across lower_stages values in tests/test_scan.py)
+DEFAULT_LOWER_STAGES = int(os.environ.get("POLAR_TPU_LOWER_STAGES", "5"))
 
 
 def _super_schedule(m: int, top: int):

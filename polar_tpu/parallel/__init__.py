@@ -15,5 +15,6 @@ design is pure DP over a 1-D ``jax.sharding.Mesh``:
 
 from polar_tpu.parallel.mesh import make_mesh
 from polar_tpu.parallel.sharded import ShardedSystem
+from polar_tpu.parallel.multihost import initialize, is_main_process
 
-__all__ = ["make_mesh", "ShardedSystem"]
+__all__ = ["make_mesh", "ShardedSystem", "initialize", "is_main_process"]

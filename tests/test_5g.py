@@ -21,15 +21,19 @@ def test_5g_scl_decoder_matches_reference(polar5g_fix, k, n):
     np.testing.assert_array_equal(got, polar5g_fix[f"ul_k{k}_n{n}_uhat_scl8"])
 
 
-@pytest.mark.parametrize("k,n", [
-    (32, 140),   # repetition (n_target > n_polar=128)
-    (20, 90),    # puncturing (rate 31/90 <= 7/16)
-    (40, 100),   # shortening (rate 51/100 > 7/16)
-    (90, 110),   # high-rate shortening
-    (12, 18),    # minimum n
-    (132, 1088), # maximum n (repetition over n_polar=1024)
+@pytest.mark.parametrize("k,n,dec_type", [
+    # every rate-matching regime for SC; SCL (costlier compiles) covers the
+    # three canonical regimes — the rate-recovery code is shared
+    (32, 140, "SC"),    # repetition (n_target > n_polar=128)
+    (20, 90, "SC"),     # puncturing (rate 31/90 <= 7/16)
+    (40, 100, "SC"),    # shortening (rate 51/100 > 7/16)
+    (90, 110, "SC"),    # high-rate shortening
+    (12, 18, "SC"),     # minimum n
+    (132, 1088, "SC"),  # maximum n (repetition over n_polar=1024)
+    (32, 140, "SCL"),
+    (20, 90, "SCL"),
+    (40, 100, "SCL"),
 ])
-@pytest.mark.parametrize("dec_type", ["SC", "SCL"])
 def test_5g_uplink_roundtrip(k, n, dec_type):
     enc = Polar5GEncoder(k=k, n=n)
     dec = Polar5GDecoder(enc, dec_type=dec_type, list_size=4)
@@ -42,8 +46,9 @@ def test_5g_uplink_roundtrip(k, n, dec_type):
     np.testing.assert_array_equal(u_hat, u)
 
 
-@pytest.mark.parametrize("k,n", [(30, 120), (140, 576), (25, 50)])
-@pytest.mark.parametrize("dec_type", ["SC", "SCL"])
+@pytest.mark.parametrize("k,n,dec_type", [
+    (30, 120, "SC"), (140, 576, "SC"), (25, 50, "SC"), (30, 120, "SCL"),
+])
 def test_5g_downlink_roundtrip(k, n, dec_type):
     enc = Polar5GEncoder(k=k, n=n, channel_type="downlink")
     dec = Polar5GDecoder(enc, dec_type=dec_type, list_size=4)
