@@ -137,6 +137,79 @@ def _subtree_kernel(frz_ref, a_ref, pm_ref, cw_ref, p_ref, pmo_ref,
     pmo_ref[:] = pm
 
 
+def _sc_subtree_kernel(frz_ref, a_ref, cw_ref, lloc, uloc, *, b, llr_max,
+                       mode):
+    """SC specialization: no list dimension, no forks — a pure unrolled
+    descent/rise sweep over VMEM workspaces with branchless frozen
+    decisions. ``a_ref``: [2^b, TB] stage-b LLRs -> ``cw_ref`` [2^b, TB]
+    int32 subtree codeword."""
+    f = F_FUNCTIONS[mode]
+    w_sub = 1 << b
+    off = lambda s: (1 << s) - 1
+    _, dsub, rsub = leaf_schedule(w_sub)
+    clip = lambda x: jnp.clip(x, -llr_max, llr_max)
+
+    lloc[off(b):off(b + 1)] = a_ref[:]
+    for i in range(w_sub):
+        d, r = int(dsub[i]), int(rsub[i])
+        if i == 0:
+            cur = a_ref[:]
+            for s in range(b, 0, -1):
+                h = 1 << (s - 1)
+                cur = f(cur[:h], cur[h:], llr_max)
+                lloc[off(s - 1):off(s)] = cur
+        else:
+            seg = lloc[off(d + 1):off(d + 2)]
+            h = 1 << d
+            cur = g_op(seg[:h], seg[h:], uloc[off(d):off(d + 1)])
+            lloc[off(d):off(d + 1)] = cur
+            for s in range(d, 0, -1):
+                h = 1 << (s - 1)
+                cur = f(cur[:h], cur[h:], llr_max)
+                lloc[off(s - 1):off(s)] = cur
+        frz_i = frz_ref[i] != 0
+        # frozen -> 0; else hard decision (0-LLR tie -> bit 1)
+        ubit = jnp.where(frz_i, jnp.zeros_like(cur, dtype=jnp.int32),
+                         (cur <= 0).astype(jnp.int32))
+        cur_u = ubit
+        for s in range(min(r, b)):
+            cur_u = jnp.concatenate(
+                [uloc[off(s):off(s + 1)] ^ cur_u, cur_u], axis=0)
+        if r >= b:
+            cw_ref[:] = cur_u
+        else:
+            uloc[off(r):off(r + 1)] = cur_u
+
+
+@functools.partial(jax.jit, static_argnames=("b", "llr_max", "mode",
+                                             "interpret", "tile"))
+def sc_subtree_pallas(a, frz, *, b, llr_max, mode, interpret=False,
+                      tile=512):
+    """Fused SC subtree. ``a``: [2^b, bs] f32 stage-b LLRs, ``frz``:
+    [2^b] int32 -> cw [2^b, bs] int32."""
+    w_sub, bs = a.shape
+    assert w_sub == (1 << b)
+    TB = min(tile, bs)
+    assert bs % TB == 0
+    W = (1 << (b + 1)) - 1
+    kern = functools.partial(_sc_subtree_kernel, b=b,
+                             llr_max=float(llr_max), mode=mode)
+    bspec = pl.BlockSpec((w_sub, TB), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(bs // TB,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), bspec],
+        out_specs=bspec,
+        out_shape=jax.ShapeDtypeStruct((w_sub, bs), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((W, TB), jnp.float32),
+            pltpu.VMEM((W, TB), jnp.int32),
+        ],
+        interpret=interpret,
+    )(frz, a)
+
+
 @functools.partial(jax.jit, static_argnames=("b", "L", "llr_max", "mode",
                                              "interpret", "tile"))
 def subtree_pallas(a, frz, pm, *, b, L, llr_max, mode, interpret=False,

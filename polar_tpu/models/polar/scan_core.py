@@ -303,7 +303,8 @@ def _super_schedule(m: int, top: int):
 
 def sc_sweep_hybrid(llr_ch, frozen_mask, mode: str = "minsum",
                     llr_max: float = 30.0,
-                    lower_stages: int = DEFAULT_LOWER_STAGES):
+                    lower_stages: int = DEFAULT_LOWER_STAGES,
+                    use_pallas=None):
     """Two-level SC sweep; bit-identical to ``sc_sweep``. ``llr_ch``:
     [n, bs] true LLRs -> decisions ``u`` [n, bs] int8.
 
@@ -315,6 +316,9 @@ def sc_sweep_hybrid(llr_ch, frozen_mask, mode: str = "minsum",
     b = min(int(lower_stages), S - 1)
     if b < 1:
         return sc_sweep(llr_ch, frozen_mask, mode, llr_max)
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() not in ("cpu",)
+                      and bs % 128 == 0)
     f = F_FUNCTIONS[mode]
     w_sub = 1 << b
     m = n >> b
@@ -392,7 +396,14 @@ def sc_sweep_hybrid(llr_ch, frozen_mask, mode: str = "minsum",
     def body(carry, x):
         desc_id, rise_id, frz = x
         carry, a = lax.switch(desc_id, descent_branches, carry)
-        cwj = subtree(a, frz)
+        if use_pallas:
+            from polar_tpu.models.polar.pallas_scl import sc_subtree_pallas
+            interp = jax.default_backend() == "cpu"
+            cwj = sc_subtree_pallas(
+                a, frz.astype(jnp.int32), b=b, llr_max=float(llr_max),
+                mode=mode, interpret=interp).astype(jnp.int8)
+        else:
+            cwj = subtree(a, frz)
         carry = lax.switch(rise_id, rise_branches, carry + (cwj,))[:-1]
         return carry, cwj
 

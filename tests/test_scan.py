@@ -78,6 +78,19 @@ def test_hybrid_sweeps_equal_plain(lower_stages):
     np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), rtol=1e-6)
 
 
+def test_sc_pallas_equals_xla():
+    from polar_tpu.models.polar.scan_core import sc_sweep, sc_sweep_hybrid
+    n = 128
+    frozen, _ = generate_5g_ranking(n // 2, n)
+    mask = np.zeros(n, bool)
+    mask[frozen] = True
+    rng = np.random.default_rng(14)
+    llr = jnp.asarray(rng.normal(0, 3, (n, 128)), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(sc_sweep(llr, mask)),
+        np.asarray(sc_sweep_hybrid(llr, mask, use_pallas=True)))
+
+
 @pytest.mark.parametrize("list_size", [4, 8])
 def test_pallas_subtree_equals_xla(list_size):
     # interpret mode on CPU; the same kernel runs compiled on TPU and is
