@@ -16,7 +16,6 @@ SNR point. TPU-native extensions:
 import json
 import os
 import time
-from functools import partial
 
 import numpy as np
 import jax
@@ -99,7 +98,7 @@ def _make_counted_step(mc_fun, batch_size, soft_estimates):
 def sim_ber(mc_fun, ebno_dbs, batch_size, max_mc_iter, soft_estimates=False,
             target_bit_errs=None, target_block_errs=None, early_stop=True,
             verbose=True, seed=42, key=None, jsonl_path=None,
-            state_path=None, distributed=False):
+            state_path=None):
     """Monte-Carlo BER/BLER sweep. Returns ``(ber, bler)`` as np.float64.
 
     ``mc_fun``: either an object with a pure ``step(key, batch_size,

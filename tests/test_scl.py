@@ -65,7 +65,7 @@ def test_scl_crc_matches_reference(decoders_fix, n):
 @pytest.mark.parametrize("mode", ["minsum", "exact"])
 def test_scl1_equals_sc(mode):
     # SCL with list size 1 must reproduce SC exactly
-    n, k = 128, 64
+    n, k = 64, 32
     frozen, _ = generate_5g_ranking(k, n)
     rng = np.random.default_rng(9)
     llr = rng.normal(0, 3, size=(32, n)).astype(np.float32)
@@ -82,7 +82,7 @@ def test_fast_scl_equals_plain_scl():
     # bulk PM updates (Hashemi Eq. 26/31) differ numerically from the
     # leaf-by-leaf updates — the reference's own docstring caveats this
     # ("besides numerical differences", x_run polar_scl.py:6)
-    n, k = 128, 40  # low rate -> many rate-0/rep nodes get pruned
+    n, k = 64, 20  # low rate -> many rate-0/rep nodes get pruned
     frozen, _ = generate_5g_ranking(k, n)
     rng = np.random.default_rng(10)
     llr = rng.normal(0, 3, size=(32, n)).astype(np.float32)
