@@ -14,8 +14,12 @@ slightly better code — our BLER is expected AT OR BELOW the baseline rows.
 import argparse
 import json
 import os
+import sys
 
 import numpy as np
+
+# runnable as `python benchmarks/bler_validation.py` from the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import polar_tpu as pt
 from polar_tpu.models.polar.construction import (get_kern_frozen_bits,
