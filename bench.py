@@ -48,9 +48,11 @@ def main():
     float(step(jax.random.PRNGKey(0), jnp.float32(2.0)))
 
     t0 = time.perf_counter()
-    errs = 0.0
-    for it in range(iters):
-        errs += float(step(jax.random.PRNGKey(it + 1), jnp.float32(2.0)))
+    # dispatch all batches asynchronously; one device->host sync at the end
+    # (the final float() forces completion of every batch)
+    vals = [step(jax.random.PRNGKey(it + 1), jnp.float32(2.0))
+            for it in range(iters)]
+    errs = float(sum(vals))
     dt = time.perf_counter() - t0
 
     bits = k * bs * iters
