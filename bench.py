@@ -14,6 +14,11 @@ import time
 # amortize XLA compile across runs
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.cache/polar_tpu_xla"))
+# 256-leaf fused subtrees: most of the SCL decode runs inside one Pallas
+# kernel invocation per super-leaf. Measured full-chain bit/s at bs=8192:
+# b=5: 19.3M, b=7: 22.2M, b=8: 22.8M, b=9: 12.4M (VMEM pressure kills
+# overlap); decode outputs identical across b.
+os.environ.setdefault("POLAR_TPU_LOWER_STAGES", "8")
 
 import jax
 import jax.numpy as jnp

@@ -184,14 +184,15 @@ def _sc_subtree_kernel(frz_ref, a_ref, cw_ref, lloc, uloc, *, b, llr_max,
 @functools.partial(jax.jit, static_argnames=("b", "llr_max", "mode",
                                              "interpret", "tile"))
 def sc_subtree_pallas(a, frz, *, b, llr_max, mode, interpret=False,
-                      tile=512):
+                      tile=None):
     """Fused SC subtree. ``a``: [2^b, bs] f32 stage-b LLRs, ``frz``:
     [2^b] int32 -> cw [2^b, bs] int32."""
     w_sub, bs = a.shape
     assert w_sub == (1 << b)
-    TB = min(tile, bs)
-    assert bs % TB == 0
     W = (1 << (b + 1)) - 1
+    TB = tile if tile is not None else _auto_tile(bs, W, 8)
+    TB = min(TB, bs)
+    assert bs % TB == 0
     kern = functools.partial(_sc_subtree_kernel, b=b,
                              llr_max=float(llr_max), mode=mode)
     bspec = pl.BlockSpec((w_sub, TB), lambda i: (0, i),
@@ -210,18 +211,31 @@ def sc_subtree_pallas(a, frz, *, b, llr_max, mode, interpret=False,
     )(frz, a)
 
 
+def _auto_tile(bs: int, rows: int, lanes_bytes: int,
+               budget: int = 10 * 2 ** 20) -> int:
+    """Largest 128-multiple batch tile whose VMEM scratch fits the budget
+    (``rows * lanes_bytes`` bytes per batch column)."""
+    tb = (budget // (rows * lanes_bytes)) // 128 * 128
+    tb = max(128, min(tb, bs))
+    while bs % tb:
+        tb -= 128
+    return max(tb, 128)
+
+
 @functools.partial(jax.jit, static_argnames=("b", "L", "llr_max", "mode",
                                              "interpret", "tile"))
 def subtree_pallas(a, frz, pm, *, b, L, llr_max, mode, interpret=False,
-                   tile=512):
+                   tile=None):
     """Run the fused subtree kernel. ``a``: [2^b, L, bs] f32 stage-b LLRs,
     ``frz``: [2^b] int32, ``pm``: [L, bs] f32. Returns
     (cw [2^b, L, bs] int32, P [L, bs] int32, pm [L, bs] f32)."""
     w_sub, L_, bs = a.shape
     assert w_sub == (1 << b) and L_ == L
-    TB = min(tile, bs)
-    assert bs % TB == 0, f"bs={bs} must be a multiple of the tile {TB}"
     W = (1 << (b + 1)) - 1
+    # scratch per batch column: (lloc f32 + uloc i32) W rows x L sublanes
+    TB = tile if tile is not None else _auto_tile(bs, W * L, 8)
+    TB = min(TB, bs)
+    assert bs % TB == 0, f"bs={bs} must be a multiple of the tile {TB}"
     grid = (bs // TB,)
     kern = functools.partial(_subtree_kernel, b=b, L=L,
                              llr_max=float(llr_max), mode=mode)
