@@ -162,10 +162,21 @@ class Demapper:
 
     def __call__(self, inputs):
         y, no = inputs
+        no = jnp.asarray(no, dtype=jnp.float32)
+        if self.constell.n_bits_per_sym == 2 and self.constell.normalize:
+            # Gray QPSK factorizes per axis, so the exact (APP) LLR has a
+            # closed form: points are (+-a) + 1j(+-a) with a = 1/sqrt(2),
+            # bit0 on the real axis (label 1 -> -a) and bit1 on the
+            # imaginary axis, hence llr_logit(b) = -4a*Re(y)/No (resp. Im).
+            # Identical to the logsumexp path (the cross terms cancel) at a
+            # fraction of the ops — this is the reference chain's hot path.
+            a = float(np.sqrt(0.5))
+            scale = -4.0 * a / no
+            llr = jnp.stack([scale * y.real, scale * y.imag], axis=-1)
+            return llr.reshape(y.shape[:-1] + (2 * y.shape[-1],))
         points = self.constell.points.reshape(
             (1,) * y.ndim + self.constell.points.shape)
         squared_dist = jnp.abs(y[..., None] - points) ** 2
-        no = jnp.asarray(no, dtype=squared_dist.dtype)
         exponents = -squared_dist / no
         llr = self._logits2llrs(exponents)
         out_shape = y.shape[:-1] + (y.shape[-1] * self.constell.n_bits_per_sym,)
