@@ -212,9 +212,11 @@ def sc_subtree_pallas(a, frz, *, b, llr_max, mode, interpret=False,
 
 
 def _auto_tile(bs: int, rows: int, lanes_bytes: int,
-               budget: int = 10 * 2 ** 20) -> int:
+               budget: int = 6 * 2 ** 20) -> int:
     """Largest 128-multiple batch tile whose VMEM scratch fits the budget
-    (``rows * lanes_bytes`` bytes per batch column)."""
+    (``rows * lanes_bytes`` bytes per batch column). The budget leaves
+    headroom below the 16MB VMEM for the kernel's input/output blocks
+    (a/cw/pm) and the compiler's own staging."""
     tb = (budget // (rows * lanes_bytes)) // 128 * 128
     tb = max(128, min(tb, bs))
     while bs % tb:
@@ -232,8 +234,11 @@ def subtree_pallas(a, frz, pm, *, b, L, llr_max, mode, interpret=False,
     w_sub, L_, bs = a.shape
     assert w_sub == (1 << b) and L_ == L
     W = (1 << (b + 1)) - 1
-    # scratch per batch column: (lloc f32 + uloc i32) W rows x L sublanes
-    TB = tile if tile is not None else _auto_tile(bs, W * L, 8)
+    # scratch per batch column: (lloc f32 + uloc i32) W rows x L sublanes.
+    # The SCL kernel's I/O blocks are small relative to scratch, so a 10MB
+    # scratch budget fits the 16MB VMEM (verified up to b=9 at L=8).
+    TB = tile if tile is not None else _auto_tile(bs, W * L, 8,
+                                                  budget=10 * 2 ** 20)
     TB = min(TB, bs)
     assert bs % TB == 0, f"bs={bs} must be a multiple of the tile {TB}"
     grid = (bs // TB,)
