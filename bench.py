@@ -33,7 +33,7 @@ def main():
     # throughput saturates around bs 4096-8192 on one v5e chip (measured:
     # 10.3M bit/s @1024, 16.6M @4096, 17.0M @8192)
     bs = int(os.environ.get("BENCH_BS", "8192"))
-    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    iters = int(os.environ.get("BENCH_ITERS", "24"))
 
     frozen, _ = pt.generate_5g_ranking(k, n)
     enc = pt.PolarEncoder(frozen, n)
