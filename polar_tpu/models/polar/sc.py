@@ -27,9 +27,10 @@ from polar_tpu.ops.fg import F_FUNCTIONS, g as g_op
 from polar_tpu.ops.butterfly import polar_transform
 from polar_tpu.models.polar.construction import info_positions
 
-# above this blocklength the unrolled-tree program gets large enough that
-# XLA compile time dominates; switch to the O(log^2 n)-sized scan program
-SCAN_THRESHOLD_N = 512
+# at and above this blocklength the O(log^2 n)-sized scan program both
+# compiles faster AND runs faster than the unrolled tree (measured on v5e:
+# SCL-8 n=256 bs=8192 full chain 21.3M bit/s scan vs 2.3M unrolled)
+SCAN_THRESHOLD_N = 256
 
 
 class PolarSCDecoder:
