@@ -25,7 +25,7 @@ import polar_tpu as pt
 from polar_tpu.sim import count_errors
 
 
-def chain_bps(model, k, bs, iters=8, ebno_db=2.0):
+def chain_bps(model, k, bs, iters=16, ebno_db=2.0):
     @jax.jit
     def step(key, e):
         b, b_hat = model.step(key, bs, e)
