@@ -40,7 +40,7 @@ _BIG = 3.0e38  # plain float: jnp constants would be captured by the kernel
 
 
 def _g8(x2d, ptr):
-    """Gather rows of a [L=8, TB] 32-bit tile by per-lane row index.
+    """Gather rows of a [8, TB] 32-bit tile by per-lane row index.
 
     Mosaic's dynamic-gather lowers ``take_along_axis`` only for exactly one
     f32 (8, lanes) tile; integer payloads ride a bitcast (pure data
@@ -50,6 +50,31 @@ def _g8(x2d, ptr):
         return lax.bitcast_convert_type(
             jnp.take_along_axis(xf, ptr, axis=0), x2d.dtype)
     return jnp.take_along_axis(x2d, ptr, axis=0)
+
+
+def _gather_rows(x2d, ptr):
+    """Per-lane row gather of an [L, TB] tile for L in {8, 16}.
+
+    L=16 decomposes into 8-row tile gathers: each destination half gathers
+    from both source halves with clamped indices and selects by ``ptr < 8``
+    (Mosaic's dynamic-gather is single-tile only). Correct under interpret
+    mode (tested), but compiling the 16-row variant currently crashes
+    Mosaic's vector-layout pass (``Check failed: limits[i] <= dim(i)`` in
+    vector_extract_strided_slice on the half-tile pointer slice), so the
+    scan engine only auto-selects the Pallas path for L=8."""
+    L = x2d.shape[0]
+    if L <= 8:
+        # compiled path only ever sees L == 8 (scan_core gates on it);
+        # interpret mode (CPU tests) handles any L
+        return _g8(x2d, ptr)
+    assert L == 16, "pallas path supports list sizes 8 and 16"
+    outs = []
+    for h in (0, 1):
+        p = ptr[8 * h:8 * h + 8]
+        g_lo = _g8(x2d[:8], jnp.clip(p, 0, 7))
+        g_hi = _g8(x2d[8:], jnp.clip(p - 8, 0, 7))
+        outs.append(jnp.where(p < 8, g_lo, g_hi))
+    return jnp.concatenate(outs, axis=0)
 
 
 def _subtree_kernel(frz_ref, a_ref, pm_ref, cw_ref, p_ref, pmo_ref,
@@ -72,12 +97,12 @@ def _subtree_kernel(frz_ref, a_ref, pm_ref, cw_ref, p_ref, pmo_ref,
 
     def readl(s):
         seg = lloc[off(s):off(s + 1)]
-        return jnp.stack([_g8(seg[j], lptr[s])
+        return jnp.stack([_gather_rows(seg[j], lptr[s])
                           for j in range(1 << s)], axis=0)
 
     def readu(s):
         seg = uloc[off(s):off(s + 1)]
-        return jnp.stack([_g8(seg[j], uptr[s])
+        return jnp.stack([_gather_rows(seg[j], uptr[s])
                           for j in range(1 << s)], axis=0)
 
     for i in range(w_sub):
@@ -121,9 +146,9 @@ def _subtree_kernel(frz_ref, a_ref, pm_ref, cw_ref, p_ref, pmo_ref,
         parent = jnp.where(frz_i, ident, sel % L)
         ubit = jnp.where(frz_i, jnp.zeros((L, TB), jnp.int32),
                          sel // L)[None]       # [1, L, TB]
-        lptr = [_g8(p, parent) for p in lptr]
-        uptr = [_g8(p, parent) for p in uptr]
-        P = _g8(P, parent)
+        lptr = [_gather_rows(p, parent) for p in lptr]
+        uptr = [_gather_rows(p, parent) for p in uptr]
+        P = _gather_rows(P, parent)
         # ---- rise: combine partial sums upward ----
         cur_u = ubit
         for s in range(min(r, b)):

@@ -441,6 +441,9 @@ def scl_sweep_hybrid(llr_ch, frozen_mask, list_size: int,
         # the fused kernel pays off on real TPUs; CPU tests exercise it
         # explicitly via interpret mode. Lane-align the batch tile; the
         # in-kernel path gathers need L to fill one 8-sublane f32 tile.
+        # (An L=16 two-tile select-gather exists and is interpret-correct,
+        # but currently trips a Mosaic vector-layout crash when compiled —
+        # see pallas_scl._gather_rows; L != 8 uses the XLA engine.)
         use_pallas = (jax.default_backend() not in ("cpu",)
                       and bs % 128 == 0 and L == 8)
     f = F_FUNCTIONS[mode]
