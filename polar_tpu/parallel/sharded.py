@@ -57,8 +57,6 @@ class ShardedSystem:
             out_specs=(P(), P()),
         )
 
-        dummy_bits = None
-
         def counted(key, ebno_db):
             # replicate inputs by tiling over the mesh axis (tiny scalars)
             keys = jnp.broadcast_to(key[None], (self.num_shards,) + key.shape)
