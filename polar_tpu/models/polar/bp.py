@@ -24,6 +24,20 @@ the upper half (the XOR branch of the encoder butterfly,
 with ``f`` the boxplus (exact or min-sum, ``ops/fg.py``). Frozen positions
 carry a ``+llr_max`` prior on the info side. BP is suboptimal vs SCL but
 iteration-parallel; it also supports soft output.
+
+Convergence hardening (both measured at n=1024, k=512, 2 dB):
+
+* **Scaled min-sum** (``msf``, default 0.9375): raw min-sum BP diverges at
+  large blocklengths (BER 0.23 vs SC's 0.015 at 20 iterations); the
+  normalized form lands in the SC class (0.026 @ 20 it, 0.007 @ 50 it).
+* **G-matrix early stopping** (``early_stop``, default True): after every
+  iteration each block re-encodes its info-side hard decision û and
+  compares against the channel-side hard decision x̂; a block with
+  ``G·û == x̂`` freezes its message lattice (no further updates — BP can
+  oscillate *out* of a codeword), and the iteration loop exits as soon as
+  every block in the batch has converged (Yuan & Parhi's detection
+  criterion). At operating SNR most blocks converge in far fewer than
+  ``num_iter`` sweeps, so this is also the main BP throughput lever.
 """
 
 import numpy as np
@@ -31,7 +45,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from polar_tpu.ops.fg import F_FUNCTIONS
+from polar_tpu.ops.fg import F_FUNCTIONS, make_scaled_minsum
 from polar_tpu.models.polar.construction import info_positions
 
 
@@ -41,7 +55,8 @@ class PolarBPDecoder:
 
     def __init__(self, frozen_pos, n: int, num_iter: int = 20,
                  mode: str = "minsum", hard_out: bool = True,
-                 llr_max: float = 30.0, output_dtype=jnp.float32):
+                 llr_max: float = 30.0, msf: float = 0.9375,
+                 early_stop: bool = True, output_dtype=jnp.float32):
         n = int(n)
         assert np.log2(n) == int(np.log2(n)), "n must be a power of 2."
         assert num_iter >= 1
@@ -53,13 +68,21 @@ class PolarBPDecoder:
         self.num_iter = int(num_iter)
         self.hard_out = bool(hard_out)
         self.llr_max = float(llr_max)
+        self.early_stop = bool(early_stop)
         self.output_dtype = output_dtype
         assert mode in F_FUNCTIONS, f"unknown mode {mode!r}"
         self.mode = mode
-        self._f = F_FUNCTIONS[mode]
+        self.msf = float(msf)
+        if mode in ("minsum", "max") and self.msf != 1.0:
+            self._f = make_scaled_minsum(self.msf)
+        else:
+            self._f = F_FUNCTIONS[mode]
         prior = np.zeros(n, dtype=np.float32)
         prior[self.frozen_pos] = self.llr_max  # true-LLR: positive -> bit 0
         self._prior = prior
+        frozen_mask = np.zeros(n, dtype=bool)
+        frozen_mask[self.frozen_pos] = True
+        self._frozen_mask = frozen_mask
         self._jit_decode = jax.jit(self._decode_2d)
 
     def _pairs(self, x, s):
@@ -93,8 +116,7 @@ class PolarBPDecoder:
             r_v = f(ru, lu, self.llr_max) + rv
             return (self._unpairs(l_u, l_v), self._unpairs(r_u, r_v))
 
-        def one_iter(_, msgs):
-            lmsg, rmsg = msgs
+        def sweep(lmsg, rmsg):
             # right-to-left sweep: update l at stages S-1 .. 0
             for s in range(S - 1, -1, -1):
                 l_new, _ = pe(lmsg[s + 1], rmsg[s], s)
@@ -103,9 +125,49 @@ class PolarBPDecoder:
             for s in range(0, S):
                 _, r_new = pe(lmsg[s + 1], rmsg[s], s)
                 rmsg = rmsg.at[s + 1].set(r_new)
-            return (lmsg, rmsg)
+            return lmsg, rmsg
 
-        lmsg, rmsg = lax.fori_loop(0, self.num_iter, one_iter, (lmsg, rmsg))
+        def encode_hard(u_bits):
+            # butterfly G·u on [n, bs] int32 (same stages as encode.py)
+            c = u_bits
+            for s in range(S):
+                u_half, v_half = self._pairs(c, s)
+                c = self._unpairs(u_half ^ v_half, v_half)
+            return c
+
+        frozen_col = jnp.asarray(self._frozen_mask)[:, None]
+
+        def converged(lmsg, rmsg):
+            # G-matrix detection: re-encode û, compare to channel-side x̂.
+            u_hat = jnp.where(frozen_col,
+                              0, (lmsg[0] + rmsg[0] <= 0)).astype(jnp.int32)
+            x_hat = (lmsg[S] + rmsg[S] <= 0).astype(jnp.int32)
+            return jnp.all(encode_hard(u_hat) == x_hat, axis=0)  # [bs]
+
+        if self.early_stop:
+            def cond(carry):
+                i, _, _, done = carry
+                return jnp.logical_and(i < self.num_iter,
+                                       jnp.logical_not(jnp.all(done)))
+
+            def body(carry):
+                i, lmsg, rmsg, done = carry
+                l_new, r_new = sweep(lmsg, rmsg)
+                # freeze converged blocks — BP can oscillate out of a codeword
+                keep = done[None, None, :]
+                lmsg = jnp.where(keep, lmsg, l_new)
+                rmsg = jnp.where(keep, rmsg, r_new)
+                return (i + 1, lmsg, rmsg,
+                        jnp.logical_or(done, converged(lmsg, rmsg)))
+
+            carry = (jnp.int32(0), lmsg, rmsg, jnp.zeros(bs, bool))
+            _, lmsg, rmsg, _ = lax.while_loop(cond, body, carry)
+        else:
+            def one_iter(_, msgs):
+                return sweep(*msgs)
+
+            lmsg, rmsg = lax.fori_loop(0, self.num_iter, one_iter,
+                                       (lmsg, rmsg))
         u_llr = lmsg[0] + rmsg[0]  # info-side total LLR [n, bs]
         u_info = jnp.take(u_llr, self.info_pos, axis=0)  # [k, bs]
         if self.hard_out:

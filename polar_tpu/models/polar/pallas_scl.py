@@ -242,6 +242,9 @@ def _auto_tile(bs: int, rows: int, lanes_bytes: int,
     (``rows * lanes_bytes`` bytes per batch column). The budget leaves
     headroom below the 16MB VMEM for the kernel's input/output blocks
     (a/cw/pm) and the compiler's own staging."""
+    if bs % 128:
+        # unaligned batch: a single whole-batch tile is the only legal grid
+        return bs
     tb = (budget // (rows * lanes_bytes)) // 128 * 128
     tb = max(128, min(tb, bs))
     while bs % tb:

@@ -32,6 +32,8 @@ updates, same ``pm = [0, llr_max, ...]`` initialization), so survivor sets
 are identical up to PM ties.
 """
 
+import warnings
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -52,7 +54,7 @@ class PolarSCLDecoder:
 
     def __init__(self, frozen_pos, n: int, list_size: int = 8,
                  crc_degree=None, use_hybrid_sc: bool = False,
-                 use_fast_scl: bool = True, return_crc_status: bool = False,
+                 use_fast_scl=None, return_crc_status: bool = False,
                  mode: str = "minsum", llr_max: float = 30.0,
                  ind_iil_inv=None, schedule: str = "auto",
                  output_dtype=jnp.float32):
@@ -73,7 +75,6 @@ class PolarSCLDecoder:
         self.info_pos = info_positions(self.frozen_pos, n)
         self.list_size = int(list_size)
         self.llr_max = float(llr_max)
-        self.use_fast_scl = bool(use_fast_scl)
         self.output_dtype = output_dtype
         assert mode in F_FUNCTIONS, f"unknown mode {mode!r}"
         self.mode = mode
@@ -111,6 +112,23 @@ class PolarSCLDecoder:
         if schedule == "auto":
             schedule = "scan" if n >= SCAN_THRESHOLD_N else "unrolled"
         self.schedule = schedule
+        # Fast-SCL pruning (Hashemi rate-0/rep shortcuts, reference default
+        # use_fast_scl=True) exists only in the unrolled engine; under
+        # min-sum the pruned and plain trees differ numerically. Default
+        # None resolves per-engine; an explicit True with the scan engine
+        # warns instead of silently changing semantics across the auto
+        # threshold (exact-f results are identical either way).
+        if use_fast_scl is None:
+            self.use_fast_scl = schedule == "unrolled"
+        else:
+            self.use_fast_scl = bool(use_fast_scl)
+            if (self.use_fast_scl and schedule == "scan"
+                    and mode in ("minsum", "max")):
+                warnings.warn(
+                    "schedule='scan' ignores use_fast_scl=True: the scan "
+                    "engine always runs the non-pruned SCL schedule "
+                    "(bit-different from fast-SCL under min-sum).",
+                    stacklevel=2)
 
         self._jit_decode = jax.jit(self._decode_2d)
 

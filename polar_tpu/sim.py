@@ -16,6 +16,7 @@ SNR point. TPU-native extensions:
 import json
 import os
 import time
+import warnings
 
 import numpy as np
 import jax
@@ -98,13 +99,21 @@ def _make_counted_step(mc_fun, batch_size, soft_estimates):
 def sim_ber(mc_fun, ebno_dbs, batch_size, max_mc_iter, soft_estimates=False,
             target_bit_errs=None, target_block_errs=None, early_stop=True,
             verbose=True, seed=42, key=None, jsonl_path=None,
-            state_path=None):
+            state_path=None, distributed=None):
     """Monte-Carlo BER/BLER sweep. Returns ``(ber, bler)`` as np.float64.
 
     ``mc_fun``: either an object with a pure ``step(key, batch_size,
     ebno_db) -> (b, b_hat)`` method (preferred — the counting fuses into the
     jitted chain) or a callable ``mc_fun(key, batch_size, ebno_db)``.
+
+    ``distributed`` is deprecated and ignored — wrap the chain in
+    ``parallel.sharded.ShardedSystem`` instead (collectives live inside
+    ``mc_fun``, not the sweep loop).
     """
+    if distributed is not None:
+        warnings.warn("sim_ber(distributed=...) is deprecated and ignored; "
+                      "use parallel.sharded.ShardedSystem.",
+                      DeprecationWarning, stacklevel=2)
     ebno_dbs = np.asarray(ebno_dbs, dtype=np.float32)
     num_points = ebno_dbs.shape[0]
     bit_errors = np.zeros(num_points, dtype=np.int64)

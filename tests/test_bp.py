@@ -42,6 +42,64 @@ def test_bp_close_to_sc_at_moderate_snr():
     assert bler_bp <= bler_sc + 0.1
 
 
+def _noisy_fixture(n, k, ebno_db=2.0, bs=256, seed=0):
+    """Deterministic noisy (logits, u) pair for regression gating."""
+    frozen, _ = generate_5g_ranking(k, n)
+    enc = PolarEncoder(frozen, n)
+    rng = np.random.default_rng(seed)
+    u = rng.integers(0, 2, size=(bs, k)).astype(np.float32)
+    c = np.asarray(enc(jnp.asarray(u)))
+    sigma = np.sqrt(1.0 / (2 * 10 ** (ebno_db / 10) * (k / n)))
+    noisy = (2.0 * c - 1.0) + rng.normal(
+        0, sigma, size=c.shape).astype(np.float32)
+    return frozen, (2.0 / sigma**2) * noisy, u
+
+
+@pytest.mark.parametrize("n", [256, 1024])
+def test_bp_large_n_in_sc_class(n):
+    """Regression gate for the round-1 BP divergence at large n.
+
+    Deterministic fixed-seed inputs, so these are exact (non-statistical)
+    bounds: BP-40 must beat SC outright and BP-20 must stay within 2x the
+    SC BER at 2 dB (measured: n=1024 BP-40 0.0097 / BP-20 0.0256 vs SC
+    0.0147; unscaled round-1 min-sum scored 0.23).
+    """
+    k = n // 2
+    frozen, logits, u = _noisy_fixture(n, k, bs=128 if n == 1024 else 256)
+    sc = PolarSCDecoder(frozen, n)
+    ber_sc = np.mean(np.asarray(sc(jnp.asarray(logits))) != u)
+    bp40 = PolarBPDecoder(frozen, n, num_iter=40)
+    ber_bp40 = np.mean(np.asarray(bp40(jnp.asarray(logits))) != u)
+    assert ber_bp40 <= ber_sc, (ber_bp40, ber_sc)
+    bp20 = PolarBPDecoder(frozen, n, num_iter=20)
+    ber_bp20 = np.mean(np.asarray(bp20(jnp.asarray(logits))) != u)
+    assert ber_bp20 <= 2.0 * ber_sc, (ber_bp20, ber_sc)
+
+
+def test_bp_early_stop_matches_full_run():
+    """Early stopping must not degrade accuracy on a fixed input set."""
+    n, k = 256, 128
+    frozen, logits, u = _noisy_fixture(n, k)
+    ber = {}
+    for es in (True, False):
+        dec = PolarBPDecoder(frozen, n, num_iter=40, early_stop=es)
+        ber[es] = np.mean(np.asarray(dec(jnp.asarray(logits))) != u)
+    assert ber[True] <= ber[False] + 1e-9, ber
+
+
+def test_bp_unscaled_minsum_still_available():
+    """msf=1.0 recovers the raw (reference-style) min-sum check node."""
+    n, k = 32, 16
+    frozen, _ = generate_5g_ranking(k, n)
+    enc = PolarEncoder(frozen, n)
+    dec = PolarBPDecoder(frozen, n, num_iter=10, msf=1.0)
+    rng = np.random.default_rng(7)
+    u = rng.integers(0, 2, size=(8, k)).astype(np.float32)
+    c = np.asarray(enc(jnp.asarray(u)))
+    logits = (2.0 * c - 1.0) * 8.0
+    np.testing.assert_array_equal(np.asarray(dec(jnp.asarray(logits))), u)
+
+
 def test_bp_soft_output():
     n, k = 32, 16
     frozen, _ = generate_5g_ranking(k, n)
