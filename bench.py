@@ -73,6 +73,28 @@ def main():
           f"time={dt:.3f}s ber@2dB={errs / bits:.4f} "
           f"schedule={dec.schedule}", file=sys.stderr)
 
+    # ops/roofline meter (SURVEY section 5 row 1): closed-form decode op
+    # count + XLA's own cost analysis of the full jitted chain step
+    from polar_tpu.utils.profiling import decode_complexity, complexity_line
+    comp = decode_complexity(n, k, L)
+    print(complexity_line(f"SCL-{L}", comp), file=sys.stderr)
+    try:
+        analysis = step.lower(jax.random.PRNGKey(0),
+                              jnp.float32(2.0)).compile().cost_analysis()
+        if isinstance(analysis, list):
+            analysis = analysis[0]
+        flops_per_step = float(analysis.get("flops", float("nan")))
+    except Exception:
+        flops_per_step = float("nan")
+    achieved = flops_per_step * iters / dt
+    # v5e: 197 TFLOP/s bf16 peak; this f32 elementwise chain is VPU/dispatch
+    # bound, so the fraction is a roofline *bound*, not an MXU utilization
+    peak = 197e12
+    print(f"# xla_flops/step={flops_per_step:.3e} achieved={achieved:.3e} "
+          f"FLOP/s ({100 * achieved / peak:.4f}% of v5e bf16 peak); "
+          f"decode element-ops/s={comp.total() * bs * iters / dt:.3e}",
+          file=sys.stderr)
+
 
 if __name__ == "__main__":
     main()

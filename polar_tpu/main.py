@@ -64,9 +64,18 @@ def main(c: PolarConfig = None):
         codes_under_test.append(
             gen_code(c, f"BP-{c.bp_iter}", mode="bp"))
 
+    from polar_tpu.utils.profiling import (decode_complexity, bp_complexity,
+                                           complexity_line)
+
     ber_plot = PlotBER(f"Performance of Short Len Codes (k={c.k}, n={c.n})")
     for model, name in codes_under_test:
         print("\nRunning: " + name)
+        if name.startswith("BP"):
+            comp = bp_complexity(c.n, c.k, c.bp_iter)
+        else:
+            L = c.list_size if name.startswith("SCL") else 1
+            comp = decode_complexity(c.n, c.k, L)
+        print(complexity_line(name, comp))
         ber_plot.simulate(
             model, ebno_dbs=ebno_db, batch_size=c.bs,
             target_block_errs=c.target_block_errs, legend=name,

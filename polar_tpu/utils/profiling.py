@@ -57,6 +57,29 @@ def decode_complexity(n: int, k: int, list_size: int = 1) -> DecodeComplexity:
         pm_ops=n * L, sort_ops=k if L > 1 else 0)
 
 
+def bp_complexity(n: int, k: int, num_iter: int) -> DecodeComplexity:
+    """Closed-form op counts of one BP decode (worst case, no early stop).
+
+    Each iteration runs two sweeps of ``log2(n)`` stages; every stage
+    evaluates four boxplus calls over ``n/2`` elements (2n f-ops) plus the
+    same volume of adds (counted as g-ops).
+    """
+    S = int(np.log2(n))
+    per_iter = 2 * S * 2 * n
+    return DecodeComplexity(
+        n=n, k=k, list_size=1,
+        f_ops=per_iter * num_iter, g_ops=per_iter * num_iter,
+        xor_ops=0, pm_ops=0, sort_ops=0)
+
+
+def complexity_line(name: str, comp: DecodeComplexity) -> str:
+    """One-line ops meter for CLI/bench output (SURVEY section 5 row 1 —
+    the reference's ``find_complexity`` vestige, made real)."""
+    return (f"# complexity {name}: {comp.total():,} element-ops/block "
+            f"({comp.total() / max(comp.k, 1):.1f} ops/info bit, "
+            f"n={comp.n} k={comp.k} L={comp.list_size})")
+
+
 @contextlib.contextmanager
 def trace(log_dir: str):
     """``with trace("/tmp/trace"): run()`` -> TensorBoard trace directory."""

@@ -60,3 +60,46 @@ def test_kern_frozen_bits():
 def test_info_positions():
     np.testing.assert_array_equal(info_positions([0, 1, 2, 4], 8),
                                   [3, 5, 6, 7])
+
+
+def test_reference_zoo_kernels_resolve():
+    """Every named research kernel of the reference zoo
+    (x_run_sn_polar/d_kernels.py:12-252) resolves via get_kernel."""
+    from polar_tpu.models.polar.kernels import get_kernel, row_weights
+    expected = {
+        "G2": 2, "R4": 4, "G8": 8, "R8": 8, "K8": 8, "G16": 16, "R16": 16,
+        "K16": 16, "K162": 16, "K163": 16, "K164": 16, "K165": 16,
+        "G162": 16, "G32": 32,
+    }
+    for name, n in expected.items():
+        kern = get_kernel(name)
+        assert kern.shape == (n, n), name
+        assert set(np.unique(kern)) <= {0.0, 1.0}, name
+        # last row of every zoo kernel except G2 is the all-ones row
+        if name != "G2":
+            assert row_weights(kern)[-1] == n, name
+
+
+def test_zoo_reordered_kernels_are_arikan_permutations():
+    """R4/R8/K8 are row permutations of the Arikan powers (the reference's
+    '*sorted F reorder' annotations); the G* kernels are genuinely custom."""
+    from polar_tpu.models.polar.kernels import get_kernel, arikan_power
+    for name, n in (("R4", 4), ("R8", 8), ("K8", 8)):
+        rows = {tuple(r) for r in get_kernel(name)}
+        assert rows == {tuple(r) for r in arikan_power(n)}, name
+    g16_rows = {tuple(r) for r in get_kernel("G16")}
+    assert not g16_rows <= {tuple(r) for r in arikan_power(16)}
+
+
+def test_zoo_kernel_feeds_construction():
+    """get_kern_frozen_bits consumes any zoo kernel by matrix, as the
+    reference's froze.py consumes d_kernels matrices."""
+    from polar_tpu.models.polar.kernels import get_kernel
+    g, w, frozen = get_kern_frozen_bits(16, 8, get_kernel("K16"))
+    assert g.shape == (16, 16)
+    assert len(frozen) == 8
+    # frozen set = 8 lowest-weight rows (stable tie-break)
+    order = np.argsort(w, kind="stable")[:8]
+    np.testing.assert_array_equal(frozen, np.sort(order))
+    g2, w2, frozen2 = get_kern_frozen_bits(256, 128, get_kernel("G16"))
+    assert g2.shape == (256, 256) and len(frozen2) == 128
