@@ -1,0 +1,134 @@
+"""Measure reference BLER baselines for the extended parity artifact.
+
+Runs the *reference* implementation (``/root/reference``, torch CPU) at the
+two chains VERDICT.md asks to validate beyond k=32/n=64:
+
+* north-star: k=512, n=1024, 5G-table frozen set, min-sum SCL-8 along the
+  reference CLI decoder (``x_run_sn_polar/polar/polar_scl.py``);
+* 5G CA-SCL: k=400, n=1000 uplink rate-matched chain
+  (``my_sn/fec/polar/enc.py`` + ``dec.py``, SCL-8 + CRC).
+
+Channel: per-bit Gaussian LLRs statistically identical to the QPSK/AWGN +
+exact-demap front end (mapping parity is fixture-proven in
+tests/test_mapping.py): logits ~ N((2b-1)*2/No, 4/No) with
+``No = 1/(EbNo * R * 2)`` — exactly ``ops/ebno.ebnodb2no``.
+
+    python benchmarks/ref_baseline_bler.py [--blocks 400]
+
+Writes benchmarks/ref_baseline_bler.json with BLER rows + MC block counts.
+This script is slow (the reference decodes ~5 codewords/s at n=1024) and
+needs no TPU; it is run offline and its JSON is committed for
+``bler_validation.py`` to compare against.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REF = "/root/reference"
+sys.path.insert(0, REF)
+sys.path.insert(0, os.path.join(REF, "x_run_sn_polar"))
+
+
+def bit_llrs(rng, cw, ebno_db, coderate):
+    """Per-bit QPSK/AWGN exact-demap logits for codeword bits cw (0/1)."""
+    no = 1.0 / (10.0 ** (ebno_db / 10.0) * coderate * 2.0)
+    mean = (2.0 * cw - 1.0) * (2.0 / no)
+    return (mean + rng.normal(0.0, np.sqrt(4.0 / no), size=cw.shape)
+            ).astype(np.float32)
+
+
+def run_northstar(tc, rng, ebno_dbs, n_blocks, bs):
+    from my_sn.fec.polar.utils import generate_5g_ranking
+    from polar.polar_scl import SCL_Dec as XRunSCL
+
+    k, n = 512, 1024
+    frozen_pos, info_pos = generate_5g_ranking(k, n)
+    frozen_pos = np.asarray(frozen_pos)
+    info_pos = np.asarray(info_pos)
+    # reference encode: u -> G u via its own kernel power (butterfly parity
+    # is fixture-proven, so build G with numpy)
+    g = np.array([[1, 0], [1, 1]], dtype=np.int64)
+    G = g.copy()
+    for _ in range(9):
+        G = np.kron(g, G)
+
+    dec = XRunSCL(frozen_pos, n, list_size=8)
+    rows = {}
+    for e in ebno_dbs:
+        blk_err = blocks = 0
+        t0 = time.time()
+        while blocks < n_blocks:
+            u = rng.integers(0, 2, size=(bs, k)).astype(np.float32)
+            cw_u = np.zeros((bs, n), dtype=np.int64)
+            cw_u[:, info_pos] = u
+            c = (cw_u @ G) % 2
+            llr = bit_llrs(rng, c.astype(np.float32), e, k / n)
+            u_hat = dec(tc.tensor(llr)).numpy()
+            blk_err += int(np.any(u_hat != u, axis=1).sum())
+            blocks += bs
+        rows[f"{e:.1f}"] = {"bler": blk_err / blocks, "blocks": blocks,
+                            "secs": round(time.time() - t0, 1)}
+        print(f"northstar {e:.1f} dB: BLER {blk_err / blocks:.4f} "
+              f"({blocks} blocks, {rows[f'{e:.1f}']['secs']}s)", flush=True)
+    return {"config": "scl8_minsum_k512_n1024_5gtable", "rows": rows}
+
+
+def run_5g(tc, rng, ebno_dbs, n_blocks, bs):
+    import my_sn.fec.crc as ref_crc
+    ref_crc.CRCEncoder.device = "cpu"  # reference latent-bug shim
+    ref_crc.CRCDecoder.device = "cpu"
+    from my_sn.fec.polar.enc import Polar5GEncoder as RefEnc5G
+    from my_sn.fec.polar.dec import Polar5GDecoder as RefDec5G
+
+    k, n = 400, 1000
+    enc = RefEnc5G(k=k, n=n)
+    dec = RefDec5G(enc, dec_type="SCL", list_size=8)
+    rows = {}
+    for e in ebno_dbs:
+        blk_err = blocks = 0
+        t0 = time.time()
+        while blocks < n_blocks:
+            u = rng.integers(0, 2, size=(bs, k)).astype(np.float32)
+            c = enc(tc.tensor(u)).numpy()
+            llr = bit_llrs(rng, c, e, k / n)
+            u_hat = dec(tc.tensor(llr)).numpy()
+            blk_err += int(np.any(u_hat != u, axis=1).sum())
+            blocks += bs
+        rows[f"{e:.1f}"] = {"bler": blk_err / blocks, "blocks": blocks,
+                            "secs": round(time.time() - t0, 1)}
+        print(f"5g_cascl8 {e:.1f} dB: BLER {blk_err / blocks:.4f} "
+              f"({blocks} blocks, {rows[f'{e:.1f}']['secs']}s)", flush=True)
+    return {"config": "5g_cascl8_k400_n1000_uplink", "rows": rows}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--blocks", type=int, default=400)
+    ap.add_argument("--bs", type=int, default=40)
+    ap.add_argument("--out", default="benchmarks/ref_baseline_bler.json")
+    args = ap.parse_args()
+
+    import torch as tc
+    tc.manual_seed(0)
+    rng = np.random.default_rng(20260816)
+
+    out = {
+        "method": "reference code run in-place, per-bit AWGN logits "
+                  "(see module docstring); seed 20260816",
+        "northstar": run_northstar(tc, rng, [1.0, 1.5, 2.0, 2.5],
+                                   args.blocks, args.bs),
+        "fiveg": run_5g(tc, rng, [1.0, 1.5, 2.0, 2.5, 3.0],
+                        args.blocks, args.bs),
+    }
+    with open(args.out, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

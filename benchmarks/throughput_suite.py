@@ -26,6 +26,9 @@ from polar_tpu.sim import count_errors
 
 
 def chain_bps(model, k, bs, iters=16, ebno_db=2.0):
+    if getattr(model, "requires_host", False):
+        return chain_bps_host(model, k, bs, iters, ebno_db)
+
     @jax.jit
     def step(key, e):
         b, b_hat = model.step(key, bs, e)
@@ -36,6 +39,36 @@ def chain_bps(model, k, bs, iters=16, ebno_db=2.0):
     vals = [step(jax.random.PRNGKey(i + 1), jnp.float32(ebno_db))
             for i in range(iters)]
     errs = float(sum(vals))
+    dt = time.perf_counter() - t0
+    return k * bs * iters / dt, errs / (k * bs * iters)
+
+
+def chain_bps_host(model, k, bs, iters=16, ebno_db=2.0):
+    """Host-orchestrated chains (hybrid SC/SCL), pipelined: dispatch every
+    batch's front asynchronously, decode them with ONE mask sync and
+    cross-batch SCL re-decodes, count jitted, sync once at the end."""
+    from functools import partial
+    dec = model.decoder
+    count = jax.jit(count_errors)
+    front = jax.jit(partial(model.front, batch_size=bs))
+    e = jnp.float32(ebno_db)
+    # prewarm: compile front/SC/SCL-bucket, then run ONE full-size window
+    # so every shape the measured window uses (mask concat, llr concat,
+    # chunk gathers, scatters, counters) is already compiled
+    scl_batch = min(8192, bs * iters)
+    if hasattr(dec, "prewarm"):
+        dec.prewarm(bs, scl_capacity=scl_batch)
+
+    def window(key0):
+        pairs = [front(jax.random.PRNGKey(key0 + i), ebno_db=e)
+                 for i in range(iters)]
+        outs = dec.decode_pipelined([p[2] for p in pairs],
+                                    scl_batch=scl_batch)
+        return float(sum(count(p[0], o) for p, o in zip(pairs, outs)))
+
+    window(1000)  # warmup at measurement shape
+    t0 = time.perf_counter()
+    errs = window(1)
     dt = time.perf_counter() - t0
     return k * bs * iters / dt, errs / (k * bs * iters)
 
@@ -60,21 +93,77 @@ def main():
     enc5 = pt.Polar5GEncoder(k=400, n=1000)
     dec5 = pt.Polar5GDecoder(enc5, dec_type="SCL", list_size=8)
     configs.append(("5g_cascl8_k400_n1000", 400, 1000, enc5, dec5))
+    # hybrid SC-first CA-SCL: same chain, SCL only on CRC failures
+    dec5h = pt.Polar5GDecoder(enc5, dec_type="hybSCL", list_size=8)
+    configs.append(("5g_hybscl8_k400_n1000", 400, 1000, enc5, dec5h,
+                    2.0, 32768))
 
-    for name, k, n, enc, dec in configs:
+    # hybrid at the north-star blocklength: CRC-in-chain composite
+    # (payload k' = k - 11; the SC accept test needs valid CRC payloads)
+    from polar_tpu.ops.crc import CRCEncoder, crc_polynomial
+    n_h, k_h = 1024, 512
+    frozen_h, _ = pt.generate_5g_ranking(k_h, n_h)
+    _, crc_len = crc_polynomial("CRC11")
+    crc_enc = CRCEncoder("CRC11", k=k_h - crc_len)
+    polar_enc = pt.PolarEncoder(frozen_h, n_h)
+
+    class _CrcPolarEncoder:
+        def __call__(self, bits):
+            return polar_enc(crc_enc(bits))
+
+    class _PayloadHybrid:
+        requires_host = True
+
+        def __init__(self, ebno=None):
+            self._hyb = pt.HybridSCLDecoder(frozen_h, n_h, list_size=8,
+                                            crc_degree="CRC11")
+
+        def __call__(self, llr):
+            return self._hyb(llr)[..., :k_h - crc_len]
+
+        def decode_pipelined(self, llr_batches, scl_batch=8192):
+            return [u[..., :k_h - crc_len] for u in
+                    self._hyb.decode_pipelined(llr_batches,
+                                               scl_batch=scl_batch)]
+
+        def prewarm(self, bs, scl_capacity=None):
+            self._hyb.prewarm(bs, scl_capacity)
+
+    # hybrid rows run at 4x batch: the SC-dominated window is dispatch-
+    # bound, so bigger programs amortize the ~25 ms/program relay overhead
+    # (measured: 54.6M @ bs=8192 -> 122.5M @ bs=32768 at 2 dB; 65536 OOMs)
+    for snr in (2.0, 3.0):
+        configs.append((f"hybscl8_n1024_{snr:.0f}db", k_h - crc_len, n_h,
+                        _CrcPolarEncoder(), _PayloadHybrid(), snr, 32768))
+
+    # SUITE_FILTER=substr re-measures matching rows only (others keep
+    # their previous values from benchmarks/throughput.json)
+    filt = os.environ.get("SUITE_FILTER", "")
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "throughput.json")
+    if filt and os.path.exists(out):
+        with open(out) as fh:
+            results.update(json.load(fh))
+        results["device"] = str(jax.devices()[0])
+
+    for cfg in configs:
+        name, k, n, enc, dec = cfg[:5]
+        if filt and filt not in name:
+            continue
+        ebno = cfg[5] if len(cfg) > 5 else 2.0
+        row_bs = cfg[6] if len(cfg) > 6 else bs
         model = pt.SystemAWGNModel(n, k, enc, dec)
         try:
-            bps, ber = chain_bps(model, k, bs)
+            bps, ber = chain_bps(model, k, row_bs, ebno_db=ebno)
             results[name] = {"info_bits_per_s": round(bps, 1),
-                             "ber_at_2db": round(ber, 5), "bs": bs}
+                             f"ber_at_{ebno:.0f}db": round(ber, 5),
+                             "bs": row_bs}
             print(f"{name:24s}: {bps/1e6:8.2f}M info bit/s "
-                  f"(ber@2dB {ber:.4f})", flush=True)
+                  f"(ber@{ebno:.0f}dB {ber:.4f})", flush=True)
         except Exception as e:  # keep surveying on per-config failure
             results[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
             print(f"{name:24s}: FAILED {type(e).__name__}", flush=True)
 
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "throughput.json")
     with open(out, "w") as fh:
         json.dump(results, fh, indent=1)
     print(f"wrote {out}")

@@ -30,6 +30,7 @@ from polar_tpu.models.polar.construction import (
 from polar_tpu.models.polar.encode import PolarEncoder, Polar5GEncoder
 from polar_tpu.models.polar.sc import PolarSCDecoder
 from polar_tpu.models.polar.scl import PolarSCLDecoder
+from polar_tpu.models.polar.hybrid import HybridSCLDecoder
 from polar_tpu.models.polar.bp import PolarBPDecoder
 from polar_tpu.models.polar.decode5g import Polar5GDecoder
 from polar_tpu.models.osd import OSDecoder
@@ -55,7 +56,7 @@ __all__ = [
     "CRCEncoder", "CRCDecoder",
     "generate_5g_ranking", "generate_rm_code", "get_kern_frozen_bits", "gen_arikan",
     "PolarEncoder", "Polar5GEncoder",
-    "PolarSCDecoder", "PolarSCLDecoder", "PolarBPDecoder", "Polar5GDecoder",
+    "PolarSCDecoder", "PolarSCLDecoder", "HybridSCLDecoder", "PolarBPDecoder", "Polar5GDecoder",
     "OSDecoder", "NoEncoder", "NoDecoder",
     "SystemAWGNModel", "SystemBECModel",
     "sim_ber", "count_errors", "count_block_errors", "hard_decisions",

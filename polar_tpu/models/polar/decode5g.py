@@ -64,14 +64,26 @@ class Polar5GDecoder:
                 enc_polar._frozen_pos, self._n_polar, list_size=list_size,
                 crc_degree=crc_degree, mode=mode, ind_iil_inv=iil_inv)
         elif dec_type == "hybSCL":
-            raise NotImplementedError(
-                "hybSCL is not implemented (disabled in the reference too, "
-                "my_sn/fec/polar/dec.py:498)")
+            # SC-first CA-SCL (the reference's _decode_np_hybrid algorithm,
+            # my_sn/fec/polar/dec.py:437-470, which it force-disables at
+            # :498 — working here)
+            from polar_tpu.models.polar.hybrid import HybridSCLDecoder
+            iil_inv = (np.argsort(rm.input_interleaver(
+                np.arange(self._k_polar))) if self._iil else None)
+            self._polar_dec = HybridSCLDecoder(
+                enc_polar._frozen_pos, self._n_polar, list_size=list_size,
+                crc_degree=crc_degree, mode=mode, ind_iil_inv=iil_inv)
         else:
             raise ValueError("Unknown value for dec_type.")
 
+        self.requires_host = getattr(self._polar_dec, "requires_host", False)
         self._dec_crc = CRCDecoder(enc_polar.enc_crc)
         self._jit_decode = jax.jit(self._decode_2d)
+        # host-orchestrated decoders (hybSCL) cannot sit inside one jitted
+        # program; keep the rate recovery and the CRC strip jitted around it
+        self._jit_front = jax.jit(
+            lambda llr: self._rate_recover(llr.astype(jnp.float32)))
+        self._jit_post = jax.jit(self._post)
 
     @property
     def k(self):
@@ -106,23 +118,36 @@ class Polar5GDecoder:
             llr_dm = jnp.concatenate([llr_ch, infty], axis=1)
         return jnp.take(llr_dm, self._ind_sub_int_inv, axis=-1)
 
-    def _decode_2d(self, llr_logits):
-        llr_dec = self._rate_recover(llr_logits.astype(jnp.float32))
-        u_hat_crc = self._polar_dec.decode(llr_dec)  # [bs, k_polar]
+    def _post(self, u_hat_crc):
+        """Info-word post-processing: undo IIL, strip+check outer CRC."""
         if self._iil:
             u_hat_crc = jnp.take(u_hat_crc, self._ind_iil_inv, axis=-1)
         u_hat, crc_status = self._dec_crc(u_hat_crc)
+        return u_hat.astype(self._output_dtype), crc_status[..., 0]
+
+    def _decode_2d(self, llr_logits):
+        llr_dec = self._rate_recover(llr_logits.astype(jnp.float32))
+        u_hat_crc = self._polar_dec.decode(llr_dec)  # [bs, k_polar]
+        u_hat, crc_status = self._post(u_hat_crc)
         if self.return_crc_status:
-            return (u_hat.astype(self._output_dtype),
-                    crc_status[..., 0])
-        return u_hat.astype(self._output_dtype)
+            return u_hat, crc_status
+        return u_hat
 
     def __call__(self, inputs):
         assert inputs.shape[-1] == self._n_target, \
             "last dim must be of length n"
         assert inputs.ndim > 1
         lead = inputs.shape[:-1]
-        res = self._jit_decode(inputs.reshape(-1, self._n_target))
+        flat = inputs.reshape(-1, self._n_target)
+        if self.requires_host:
+            # three-program hybrid schedule: jitted rate recovery ->
+            # host-orchestrated SC/SCL -> jitted CRC strip
+            llr_dec = self._jit_front(flat)
+            u_hat_crc = self._polar_dec(llr_dec)
+            u, status = self._jit_post(u_hat_crc)
+            res = (u, status) if self.return_crc_status else u
+        else:
+            res = self._jit_decode(flat)
         if self.return_crc_status:
             u, status = res
             return (u.reshape(lead + (self._k_target,)),
@@ -130,4 +155,26 @@ class Polar5GDecoder:
         return res.reshape(lead + (self._k_target,))
 
     def decode(self, llr_logits):
+        if self.requires_host:
+            raise RuntimeError(
+                "dec_type='hybSCL' needs a host synchronization and cannot "
+                "run inside jit; call the decoder (__call__) instead.")
         return self._decode_2d(llr_logits)
+
+    def decode_pipelined(self, llr_batches, scl_batch: int = 8192):
+        """hybSCL serving path: many batches, one mask sync, cross-batch
+        SCL re-decodes (see ``HybridSCLDecoder.decode_pipelined``)."""
+        assert self.requires_host, "decode_pipelined is the hybSCL path"
+        fronts = [self._jit_front(jnp.reshape(x, (-1, self._n_target)))
+                  for x in llr_batches]
+        mids = self._polar_dec.decode_pipelined(fronts, scl_batch=scl_batch)
+        outs = []
+        for m in mids:
+            u, status = self._jit_post(m)
+            outs.append((u, status) if self.return_crc_status else u)
+        return outs
+
+    def prewarm(self, bs: int, scl_capacity: int = None):
+        if self.requires_host:
+            self._jit_front(jnp.zeros((bs, self._n_target), jnp.float32))
+            self._polar_dec.prewarm(bs, scl_capacity)

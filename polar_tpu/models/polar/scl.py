@@ -64,10 +64,18 @@ class PolarSCLDecoder:
         assert np.log2(list_size) == int(np.log2(list_size)), \
             "list_size must be a power of 2."
         assert n >= 2
+        # SC-first hybrid decoding (the reference ships the algorithm but
+        # force-disables it, my_sn/fec/polar/dec.py:437-470,:498; here it
+        # works): delegate to the host-orchestrated HybridSCLDecoder.
+        self._hybrid = None
         if use_hybrid_sc:
-            raise NotImplementedError(
-                "use_hybrid_sc is not implemented (the reference's hybrid "
-                "path is also disabled, my_sn/fec/polar/dec.py:498)")
+            from polar_tpu.models.polar.hybrid import HybridSCLDecoder
+            self._hybrid = HybridSCLDecoder(
+                frozen_pos, n, list_size=list_size, crc_degree=crc_degree,
+                mode=mode, llr_max=llr_max, ind_iil_inv=ind_iil_inv,
+                schedule=schedule, return_crc_status=return_crc_status,
+                output_dtype=output_dtype)
+        self.requires_host = use_hybrid_sc
         self.n = n
         self._S = int(np.log2(n))
         self.frozen_pos = np.asarray(frozen_pos, dtype=np.int64)
@@ -286,6 +294,8 @@ class PolarSCLDecoder:
         return out
 
     def __call__(self, inputs):
+        if self._hybrid is not None:
+            return self._hybrid(inputs)
         assert inputs.shape[-1] == self.n, "last dim must be of length n"
         assert inputs.ndim > 1, "inputs must have at least 2 dimensions"
         lead = inputs.shape[:-1]
@@ -297,4 +307,9 @@ class PolarSCLDecoder:
 
     # pure functional entry (for composing into larger jitted programs)
     def decode(self, llr_logits):
+        if self._hybrid is not None:
+            raise RuntimeError(
+                "the hybrid SC/SCL schedule needs a host synchronization to "
+                "size the SCL re-decode and cannot run inside jit; call the "
+                "decoder (__call__) instead of decode().")
         return self._decode_2d(llr_logits)

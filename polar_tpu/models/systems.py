@@ -20,6 +20,8 @@ from polar_tpu.ops.channels import AWGN, BinaryErasureChannel
 
 
 def _decode_fn(decoder):
+    if getattr(decoder, "requires_host", False):
+        return decoder  # __call__ orchestrates its own jitted programs
     return decoder.decode if hasattr(decoder, "decode") else decoder
 
 
@@ -41,11 +43,15 @@ class SystemAWGNModel:
         self.encoder = encoder
         self.decoder = decoder
         self._decode = _decode_fn(decoder)
+        # host-orchestrated decoders (e.g. HybridSCLDecoder) cannot be
+        # traced into the chain program; jit the front half around them
+        self.requires_host = getattr(decoder, "requires_host", False)
         self._jit_steps = {}
+        self._jit_fronts = {}
 
-    def step(self, key, batch_size: int, ebno_db):
-        """Pure function: one Monte-Carlo batch at ``ebno_db``.
-        Returns ``(bits, bits_hat)`` (or ``(codewords, bits_hat)``)."""
+    def front(self, key, batch_size: int, ebno_db):
+        """Pure front half: source -> encode -> map -> AWGN -> demap.
+        Returns ``(bits, codewords, llr)``."""
         no = ebno_mod.ebnodb2no(ebno_db, self.n_bits_per_sym, self.coderate)
         k_bits, k_chan = jax.random.split(key)
         bits = binary_source(k_bits, (batch_size, self.k))
@@ -53,12 +59,27 @@ class SystemAWGNModel:
         x = self.mapper(codewords)
         y = self.awgn_channel(k_chan, (x, no))
         llr = self.demapper((y, no))
+        return bits, codewords, llr
+
+    def step(self, key, batch_size: int, ebno_db):
+        """Pure function: one Monte-Carlo batch at ``ebno_db``.
+        Returns ``(bits, bits_hat)`` (or ``(codewords, bits_hat)``)."""
+        bits, codewords, llr = self.front(key, batch_size, ebno_db)
         bits_hat = self._decode(llr)
         if self.cw_estimates:
             return codewords, bits_hat
         return bits, bits_hat
 
     def __call__(self, key, batch_size: int, ebno_db):
+        if self.requires_host:
+            if batch_size not in self._jit_fronts:
+                self._jit_fronts[batch_size] = jax.jit(
+                    partial(self.front, batch_size=batch_size))
+            bits, codewords, llr = self._jit_fronts[batch_size](
+                key, ebno_db=ebno_db)
+            bits_hat = self._decode(llr)
+            return (codewords, bits_hat) if self.cw_estimates \
+                else (bits, bits_hat)
         if batch_size not in self._jit_steps:
             self._jit_steps[batch_size] = jax.jit(
                 partial(self.step, batch_size=batch_size))
@@ -79,19 +100,34 @@ class SystemBECModel:
         self.encoder = encoder
         self.decoder = decoder
         self._decode = _decode_fn(decoder)
+        self.requires_host = getattr(decoder, "requires_host", False)
         self._jit_steps = {}
+        self._jit_fronts = {}
 
-    def step(self, key, batch_size: int, ebno_db):
+    def front(self, key, batch_size: int, ebno_db):
         k_bits, k_chan = jax.random.split(key)
         bits = binary_source(k_bits, (batch_size, self.k))
         codewords = self.encoder(bits)
         llr = self.channel(k_chan, (codewords, ebno_db))
+        return bits, codewords, llr
+
+    def step(self, key, batch_size: int, ebno_db):
+        bits, codewords, llr = self.front(key, batch_size, ebno_db)
         bits_hat = self._decode(llr)
         if self.cw_estimates:
             return codewords, bits_hat
         return bits, bits_hat
 
     def __call__(self, key, batch_size: int, ebno_db):
+        if self.requires_host:
+            if batch_size not in self._jit_fronts:
+                self._jit_fronts[batch_size] = jax.jit(
+                    partial(self.front, batch_size=batch_size))
+            bits, codewords, llr = self._jit_fronts[batch_size](
+                key, ebno_db=ebno_db)
+            bits_hat = self._decode(llr)
+            return (codewords, bits_hat) if self.cw_estimates \
+                else (bits, bits_hat)
         if batch_size not in self._jit_steps:
             self._jit_steps[batch_size] = jax.jit(
                 partial(self.step, batch_size=batch_size))

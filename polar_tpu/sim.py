@@ -78,7 +78,8 @@ def _make_counted_step(mc_fun, batch_size, soft_estimates):
             return mc_fun.counted_step(key, batch_size, ebno_db)
         return distributed
 
-    if hasattr(mc_fun, "step"):
+    if hasattr(mc_fun, "step") and not getattr(mc_fun, "requires_host",
+                                               False):
         def counted(key, ebno_db):
             b, b_hat = mc_fun.step(key, batch_size, ebno_db)
             if soft_estimates:
@@ -87,12 +88,19 @@ def _make_counted_step(mc_fun, batch_size, soft_estimates):
                 b.size, b.size // b.shape[-1]
         return jax.jit(counted)
 
-    def fallback(key, ebno_db):
-        b, b_hat = mc_fun(key, batch_size, ebno_db)
+    # host-orchestrated chains (e.g. hybrid SC/SCL) and plain callables:
+    # the chain runs outside jit, but the counters stay jitted (eager
+    # reductions are unreliable on the axon TPU backend)
+    @jax.jit
+    def _count(b, b_hat):
         if soft_estimates:
             b_hat = hard_decisions(b_hat)
-        return (count_errors(b, b_hat), count_block_errors(b, b_hat),
-                b.size, b.size // b.shape[-1])
+        return count_errors(b, b_hat), count_block_errors(b, b_hat)
+
+    def fallback(key, ebno_db):
+        b, b_hat = mc_fun(key, batch_size, ebno_db)
+        errs, blk = _count(b, b_hat)
+        return (errs, blk, b.size, b.size // b.shape[-1])
     return fallback
 
 

@@ -1,16 +1,25 @@
 """Test configuration: force CPU with 8 virtual devices so the multi-chip
-sharding tests (SURVEY.md section 4 test pyramid, item d) run anywhere."""
+sharding tests (SURVEY.md section 4 test pyramid, item d) run anywhere.
+
+TPU lane: ``POLAR_TPU_TEST_TPU=1 python -m pytest tests -m tpu`` keeps the
+real TPU backend and runs only the ``@pytest.mark.tpu`` modules (compiled
+Pallas-vs-XLA equality — the check that would have caught the round-1
+Mosaic L=16 regression automatically). Without the env var those tests
+auto-skip and everything else runs on the CPU mesh as before."""
 
 import os
 
-# must happen before jax initializes a backend; the environment may pin
-# JAX_PLATFORMS to a TPU plugin globally (and plugin registration can
-# override the env var via jax.config), so force the config explicitly
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+TPU_LANE = os.environ.get("POLAR_TPU_TEST_TPU") == "1"
+
+if not TPU_LANE:
+    # must happen before jax initializes a backend; the environment may pin
+    # JAX_PLATFORMS to a TPU plugin globally (and plugin registration can
+    # override the env var via jax.config), so force the config explicitly
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
 
 # persistent XLA compile cache: repeat test runs skip recompilation
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
@@ -22,10 +31,28 @@ os.environ.setdefault("POLAR_TPU_LOWER_STAGES", "3")
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not TPU_LANE:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "tpu: needs the real TPU chip (POLAR_TPU_TEST_TPU=1 pytest -m tpu)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if TPU_LANE:
+        return
+    skip = pytest.mark.skip(
+        reason="TPU lane disabled (set POLAR_TPU_TEST_TPU=1)")
+    for item in items:
+        if "tpu" in item.keywords:
+            item.add_marker(skip)
+
 
 FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "fixtures")
 

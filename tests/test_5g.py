@@ -85,6 +85,6 @@ def test_5g_encoder_limits():
         Polar5GEncoder(k=11, n=48)  # k < 12 unsupported in uplink
     with pytest.raises(AssertionError):
         Polar5GEncoder(k=141, n=400, channel_type="downlink")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         enc = Polar5GEncoder(k=40, n=100)
-        Polar5GDecoder(enc, dec_type="hybSCL")
+        Polar5GDecoder(enc, dec_type="nonsense")

@@ -62,16 +62,35 @@ def test_sharded_sim_ber_runs_and_is_reproducible():
     assert np.all(r1[0] >= 0) and np.all(r1[0] <= 1)
 
 
+class _CrnUnsharded:
+    """Common-random-numbers twin of ShardedSystem: one device, but the
+    batch is split into the same per-shard folded key streams, so the
+    sharded sweep must reproduce it EXACTLY (not just within MC noise)."""
+
+    def __init__(self, model, num_shards):
+        self.model = model
+        self.num_shards = num_shards
+
+    def step(self, key, batch_size, ebno_db):
+        local = batch_size // self.num_shards
+        outs = [self.model.step(jax.random.fold_in(key, s), local, ebno_db)
+                for s in range(self.num_shards)]
+        return (jnp.concatenate([o[0] for o in outs]),
+                jnp.concatenate([o[1] for o in outs]))
+
+
 def test_sharded_statistics_match_unsharded():
-    """Same MC estimator: sharded and single-device runs must give BER within
-    Monte-Carlo tolerance of each other on a mid-SNR point."""
+    """Sharded sweep == single-device sweep under common random numbers."""
     model = _model()
     sharded = ShardedSystem(model, make_mesh(8))
-    ber_s, _ = sim_ber(sharded, [2.0], batch_size=512, max_mc_iter=4,
-                       seed=11, verbose=False, early_stop=False)
-    ber_u, _ = sim_ber(model, [2.0], batch_size=512, max_mc_iter=4,
-                       seed=11, verbose=False, early_stop=False)
-    assert abs(ber_s[0] - ber_u[0]) < 0.02
+    ber_s, bler_s = sim_ber(sharded, [1.0, 2.0], batch_size=512,
+                            max_mc_iter=4, seed=11, verbose=False,
+                            early_stop=False)
+    ber_u, bler_u = sim_ber(_CrnUnsharded(model, 8), [1.0, 2.0],
+                            batch_size=512, max_mc_iter=4, seed=11,
+                            verbose=False, early_stop=False)
+    np.testing.assert_array_equal(ber_s, ber_u)
+    np.testing.assert_array_equal(bler_s, bler_u)
 
 
 def test_sharded_rejects_indivisible_batch():

@@ -104,10 +104,12 @@ def test_fast_scl_equals_plain_scl():
     bm = PolarSCLDecoder(frozen, n, list_size=4, use_fast_scl=False)
     da = np.asarray(am(jnp.asarray(noisy)))
     db = np.asarray(bm(jnp.asarray(noisy)))
-    bler_a = np.mean(np.any(da != u, axis=1))
-    bler_b = np.mean(np.any(db != u, axis=1))
-    assert abs(bler_a - bler_b) <= 0.1
-    assert np.mean(np.any(da != db, axis=1)) <= 0.15
+    # deterministic regression gate: on THIS seeded batch the pruned and
+    # plain min-sum schedules happen to agree bit-exactly (both decode all
+    # 64 blocks correctly); general min-sum equality does not hold, but any
+    # regression that perturbs either schedule shows up here exactly
+    np.testing.assert_array_equal(da, u)
+    np.testing.assert_array_equal(db, u)
 
 
 def test_scl_roundtrip_noiseless():
@@ -146,7 +148,7 @@ def test_scl_rejects_bad_args():
     frozen, _ = generate_5g_ranking(16, 32)
     with pytest.raises(AssertionError):
         PolarSCLDecoder(frozen, 32, list_size=3)  # not a power of 2
-    with pytest.raises(NotImplementedError):
-        PolarSCLDecoder(frozen, 32, use_hybrid_sc=True)
+    with pytest.raises(ValueError):
+        PolarSCLDecoder(frozen, 32, use_hybrid_sc=True)  # hybrid needs CRC
     with pytest.raises(ValueError):
         PolarSCLDecoder(frozen, 32, return_crc_status=True)  # needs CRC

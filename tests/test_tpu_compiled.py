@@ -1,0 +1,107 @@
+"""Compiled-Pallas vs XLA/interpret equality on the REAL TPU chip.
+
+Run with::
+
+    POLAR_TPU_TEST_TPU=1 python -m pytest tests/test_tpu_compiled.py -m tpu -q
+
+(one process at a time on the chip — do not run while a bench is live).
+These tests exercise the Mosaic-COMPILED kernels, which the CPU suite can
+only run under ``interpret=True``; one green run here would have caught the
+round-1 L=16 vector-layout crash automatically.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.tpu
+
+
+def _tpu_or_skip():
+    if jax.default_backend() in ("cpu",):
+        pytest.skip("needs the real TPU backend")
+
+
+def _rand_subtree(b, L, bs, seed=0):
+    rng = np.random.default_rng(seed)
+    a = rng.normal(0, 4, size=(1 << b, L, bs)).astype(np.float32)
+    frz = (rng.random(1 << b) < 0.5).astype(np.int32)
+    pm = np.abs(rng.normal(0, 1, size=(L, bs))).astype(np.float32)
+    pm[1:] += 30.0
+    return jnp.asarray(a), jnp.asarray(frz), jnp.asarray(pm)
+
+
+@pytest.mark.parametrize("L", [8, 16])
+@pytest.mark.parametrize("b", [3, 5])
+def test_scl_subtree_compiled_equals_interpret(b, L):
+    _tpu_or_skip()
+    from polar_tpu.models.polar.pallas_scl import subtree_pallas
+    a, frz, pm = _rand_subtree(b, L, 256, seed=b * 10 + L)
+    outc = subtree_pallas(a, frz, pm, b=b, L=L, llr_max=30.0,
+                          mode="minsum", interpret=False)
+    outi = subtree_pallas(a, frz, pm, b=b, L=L, llr_max=30.0,
+                          mode="minsum", interpret=True)
+    for c, i, name in zip(outc, outi, ("cw", "P", "pm")):
+        np.testing.assert_array_equal(np.asarray(c), np.asarray(i),
+                                      err_msg=name)
+
+
+@pytest.mark.parametrize("b", [3, 5, 8])
+def test_sc_subtree_compiled_equals_interpret(b):
+    _tpu_or_skip()
+    from polar_tpu.models.polar.pallas_scl import sc_subtree_pallas
+    rng = np.random.default_rng(b)
+    a = jnp.asarray(rng.normal(0, 4, size=(1 << b, 256)).astype(np.float32))
+    frz = jnp.asarray((rng.random(1 << b) < 0.5).astype(np.int32))
+    outc = sc_subtree_pallas(a, frz, b=b, llr_max=30.0, mode="minsum",
+                             interpret=False)
+    outi = sc_subtree_pallas(a, frz, b=b, llr_max=30.0, mode="minsum",
+                             interpret=True)
+    np.testing.assert_array_equal(np.asarray(outc), np.asarray(outi))
+
+
+@pytest.mark.parametrize("use_pallas", [True, False])
+def test_scl_sweep_pallas_equals_xla(use_pallas):
+    """Full scan-engine SCL sweep: compiled Pallas path == pure-XLA path
+    (recorded against the use_pallas=False reference run)."""
+    _tpu_or_skip()
+    from polar_tpu.models.polar.scan_core import scl_sweep_hybrid
+    from polar_tpu.models.polar.construction import generate_5g_ranking
+    n, k, bs, L = 1024, 512, 256, 8
+    frozen, _ = generate_5g_ranking(k, n)
+    mask = np.zeros(n, dtype=bool)
+    mask[frozen] = True
+    rng = np.random.default_rng(42)
+    llr = jnp.asarray(rng.normal(0, 4, size=(n, bs)).astype(np.float32))
+
+    @jax.jit
+    def run():
+        return scl_sweep_hybrid(llr, mask, L, mode="minsum",
+                                use_pallas=use_pallas)
+
+    u, pm = run()
+    got = (np.asarray(u), np.asarray(pm))
+    cache = test_scl_sweep_pallas_equals_xla.__dict__.setdefault("ref", {})
+    if "out" in cache:
+        np.testing.assert_array_equal(got[0], cache["out"][0])
+        np.testing.assert_array_equal(got[1], cache["out"][1])
+    else:
+        cache["out"] = got
+
+
+def test_sc_sweep_pallas_equals_xla():
+    _tpu_or_skip()
+    from polar_tpu.models.polar.scan_core import sc_sweep_hybrid
+    from polar_tpu.models.polar.construction import generate_5g_ranking
+    n, k, bs = 1024, 512, 256
+    frozen, _ = generate_5g_ranking(k, n)
+    mask = np.zeros(n, dtype=bool)
+    mask[frozen] = True
+    rng = np.random.default_rng(7)
+    llr = jnp.asarray(rng.normal(0, 4, size=(n, bs)).astype(np.float32))
+    outs = []
+    for up in (True, False):
+        u = jax.jit(lambda: sc_sweep_hybrid(llr, mask, use_pallas=up))()
+        outs.append(np.asarray(u))
+    np.testing.assert_array_equal(outs[0], outs[1])
