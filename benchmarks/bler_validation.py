@@ -33,49 +33,114 @@ BASELINE = {  # BASELINE.md, measured from the reference (k=32, n=64)
 }
 
 
+def _ref_rows(which):
+    """Baseline rows measured from the reference by ref_baseline_bler.py
+    (committed JSON; see that module for method)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "ref_baseline_bler.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        return json.load(fh)[which]["rows"]
+
+
+def _run(model, ebno, args, name, baseline_rows, results):
+    ber, bler = pt.sim_ber(model, ebno, batch_size=args.bs,
+                           max_mc_iter=args.mc_iter,
+                           target_block_errs=args.blocks,
+                           early_stop=False, verbose=True, seed=42)
+    base = [None if baseline_rows is None
+            else baseline_rows.get(f"{float(e):.1f}", {}).get("bler")
+            for e in ebno]
+    base_blocks = [None if baseline_rows is None
+                   else baseline_rows.get(f"{float(e):.1f}", {}).get("blocks")
+                   for e in ebno]
+    results[name] = {
+        "ebno_db": np.asarray(ebno, dtype=float).tolist(),
+        "ber": ber.tolist(), "bler": bler.tolist(),
+        "baseline_bler": base, "baseline_blocks": base_blocks,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--blocks", type=int, default=2000,
                     help="target block errors per SNR point")
     ap.add_argument("--bs", type=int, default=4096)
     ap.add_argument("--mc_iter", type=int, default=400)
+    ap.add_argument("--chains", default="k32,northstar,5g",
+                    help="comma list: k32, northstar, 5g")
     ap.add_argument("--out", default="benchmarks/bler_validation.json")
     args = ap.parse_args()
-
-    k, n = 32, 64
-    _, _, frozen = get_kern_frozen_bits(n, n - k, ARIKAN_F2)
-    enc = pt.PolarEncoder(frozen, n)
-    ebno = np.arange(0.0, 5.0, 0.5)
+    chains = set(args.chains.split(","))
 
     results = {}
-    for name, dec in (
-            ("sc", pt.PolarSCDecoder(frozen, n, mode="minsum")),
-            ("scl8", pt.PolarSCLDecoder(frozen, n, list_size=8,
-                                        mode="minsum"))):
-        model = pt.SystemAWGNModel(n, k, enc, dec)
-        ber, bler = pt.sim_ber(model, ebno, batch_size=args.bs,
-                               max_mc_iter=args.mc_iter,
-                               target_block_errs=args.blocks,
-                               early_stop=False, verbose=True, seed=42)
-        results[name] = {
-            "ebno_db": ebno.tolist(),
-            "ber": ber.tolist(),
-            "bler": bler.tolist(),
-            "baseline_bler": [BASELINE[name].get(float(e)) for e in ebno],
-        }
+    if os.path.exists(args.out):
+        with open(args.out) as fh:  # partial re-runs keep other chains
+            results.update(json.load(fh))
+
+    if "k32" in chains:
+        k, n = 32, 64
+        _, _, frozen = get_kern_frozen_bits(n, n - k, ARIKAN_F2)
+        enc = pt.PolarEncoder(frozen, n)
+        ebno = np.arange(0.0, 5.0, 0.5)
+        for name, dec in (
+                ("sc", pt.PolarSCDecoder(frozen, n, mode="minsum")),
+                ("scl8", pt.PolarSCLDecoder(frozen, n, list_size=8,
+                                            mode="minsum"))):
+            rows = {f"{e:.1f}": {"bler": BASELINE[name].get(float(e))}
+                    for e in ebno}
+            _run(pt.SystemAWGNModel(n, k, enc, dec), ebno, args, name,
+                 rows, results)
+            results[name]["baseline_blocks"] = [100] * len(ebno)
+
+    if "northstar" in chains:
+        # bench.py's exact config: 5G-table frozen set, min-sum SCL-8
+        k, n = 512, 1024
+        frozen, _ = pt.generate_5g_ranking(k, n)
+        model = pt.SystemAWGNModel(n, k, pt.PolarEncoder(frozen, n),
+                                   pt.PolarSCLDecoder(frozen, n,
+                                                      list_size=8))
+        _run(model, [1.0, 1.5, 2.0, 2.5], args, "scl8_n1024",
+             _ref_rows("northstar"), results)
+
+    if "5g" in chains:
+        enc5 = pt.Polar5GEncoder(k=400, n=1000)
+        dec5 = pt.Polar5GDecoder(enc5, dec_type="SCL", list_size=8)
+        _run(pt.SystemAWGNModel(1000, 400, enc5, dec5),
+             [1.0, 1.5, 2.0, 2.5, 3.0], args, "5g_cascl8_k400_n1000",
+             _ref_rows("fiveg"), results)
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as fh:
         json.dump(results, fh, indent=1)
     print(f"\nwrote {args.out}")
+    worse = 0
     for name, r in results.items():
-        for e, ours, base in zip(r["ebno_db"], r["bler"],
-                                 r["baseline_bler"]):
+        for e, ours, base, nb in zip(r["ebno_db"], r["bler"],
+                                     r["baseline_bler"],
+                                     r.get("baseline_blocks",
+                                           [None] * 99)):
+            if base is None:
+                continue
+            # accept at-or-below baseline within the baseline's own 3-sigma
+            # MC noise (the reference rows are far shallower than ours);
+            # a zero-error baseline row only bounds BLER below ~3/blocks
+            # (rule of three), not at 0
+            if nb and base > 0:
+                bound = base + 3 * np.sqrt(base * (1 - base) / nb)
+            elif nb:
+                bound = 3.0 / nb
+            else:
+                bound = base
             flag = ""
-            if base is not None and base > 0 and ours > 2.0 * base + 0.02:
+            if ours > bound + 1e-3:
                 flag = "  <-- WORSE than baseline"
-            print(f"{name:5s} {e:4.1f} dB: bler={ours:.4f} "
+                worse += 1
+            print(f"{name:22s} {e:4.1f} dB: bler={ours:.4f} "
                   f"baseline={base}{flag}")
+    if worse:
+        raise SystemExit(f"{worse} points worse than baseline")
 
 
 if __name__ == "__main__":

@@ -89,6 +89,15 @@ def main():
             (f"bp20_n{n}", k, n, enc,
              pt.PolarBPDecoder(frozen, n, num_iter=20)),
         ]
+    # larger list sizes at the north-star blocklength (XLA scan engine;
+    # see scan_core.scl_sweep_hybrid for why L != 8 avoids the Pallas path)
+    frozen1k, _ = pt.generate_5g_ranking(512, 1024)
+    enc1k = pt.PolarEncoder(frozen1k, 1024)
+    for Lbig in (16, 32):
+        configs.append((f"scl{Lbig}_n1024", 512, 1024, enc1k,
+                        pt.PolarSCLDecoder(frozen1k, 1024, list_size=Lbig),
+                        2.0, 2048))
+
     # 5G CA-SCL rate-matched chain
     enc5 = pt.Polar5GEncoder(k=400, n=1000)
     dec5 = pt.Polar5GDecoder(enc5, dec_type="SCL", list_size=8)

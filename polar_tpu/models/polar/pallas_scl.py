@@ -57,11 +57,12 @@ def _gather_rows(x2d, ptr):
 
     L=16 decomposes into 8-row tile gathers: each destination half gathers
     from both source halves with clamped indices and selects by ``ptr < 8``
-    (Mosaic's dynamic-gather is single-tile only). Correct under interpret
-    mode (tested), but compiling the 16-row variant currently crashes
-    Mosaic's vector-layout pass (``Check failed: limits[i] <= dim(i)`` in
-    vector_extract_strided_slice on the half-tile pointer slice), so the
-    scan engine only auto-selects the Pallas path for L=8."""
+    (Mosaic's dynamic-gather is single-tile only). Compiles correctly with
+    a 128-lane batch tile; wider tiles trip a Mosaic vector-layout check
+    (``limits[i] <= dim(i)`` in vector_extract_strided_slice), so
+    ``subtree_pallas`` caps TB at 128 for L=16. Verified bit-exact (cw, P)
+    against interpret mode up to b=8; pm differs only by cross-backend
+    float noise."""
     L = x2d.shape[0]
     if L <= 8:
         # compiled path only ever sees L == 8 (scan_core gates on it);
@@ -267,6 +268,11 @@ def subtree_pallas(a, frz, pm, *, b, L, llr_max, mode, interpret=False,
     # scratch budget fits the 16MB VMEM (verified up to b=9 at L=8).
     TB = tile if tile is not None else _auto_tile(bs, W * L, 8,
                                                   budget=10 * 2 ** 20)
+    if L > 8 and bs % 128 == 0:
+        # L=16 two-tile select-gather miscompiles beyond one 128-lane tile
+        # (Mosaic vector_extract_strided_slice `limits[i] <= dim(i)`); a
+        # 128-lane grid is layout-safe and verified bit-exact vs interpret
+        TB = min(TB, 128)
     TB = min(TB, bs)
     assert bs % TB == 0, f"bs={bs} must be a multiple of the tile {TB}"
     grid = (bs // TB,)

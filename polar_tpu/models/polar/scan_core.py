@@ -439,13 +439,18 @@ def scl_sweep_hybrid(llr_ch, frozen_mask, list_size: int,
         return scl_sweep(llr_ch, frozen_mask, L, mode, llr_max)
     if use_pallas is None:
         # the fused kernel pays off on real TPUs; CPU tests exercise it
-        # explicitly via interpret mode. Lane-align the batch tile; the
-        # in-kernel path gathers need L to fill one 8-sublane f32 tile.
-        # (An L=16 two-tile select-gather exists and is interpret-correct,
-        # but currently trips a Mosaic vector-layout crash when compiled —
-        # see pallas_scl._gather_rows; L != 8 uses the XLA engine.)
+        # explicitly via interpret mode. Lane-align the batch tile; L=8
+        # rides one 8-sublane f32 tile; L=16 uses the two-tile select
+        # gather (128-lane batch tile, pallas_scl.subtree_pallas) and is
+        # equality-tested in the TPU lane. L >= 32 stays on XLA.
         use_pallas = (jax.default_backend() not in ("cpu",)
-                      and bs % 128 == 0 and L == 8)
+                      and bs % 128 == 0 and L in (8, 16))
+    if use_pallas and L == 16:
+        # measured at n=1024 bs=2048 (decode-only, Mosaic compile time):
+        # b=5 8.6M/19s, b=6 24.7M/25s, b=7 10.5M/450s, b=8 2.7M/875s —
+        # the 128-lane tile makes big subtrees VMEM-thrash, so cap at the
+        # sweet spot (the XLA L=16 chain manages only 0.65M for scale)
+        b = min(b, 6)
     f = F_FUNCTIONS[mode]
     w_sub = 1 << b
     m = n >> b

@@ -32,9 +32,12 @@ def _rand_subtree(b, L, bs, seed=0):
     return jnp.asarray(a), jnp.asarray(frz), jnp.asarray(pm)
 
 
-@pytest.mark.parametrize("L", [8, 16])
-@pytest.mark.parametrize("b", [3, 5])
+@pytest.mark.parametrize("b,L", [(3, 8), (5, 8), (3, 16)])
 def test_scl_subtree_compiled_equals_interpret(b, L):
+    # interpret=True on the TPU backend dispatches per-op through the
+    # relay, so keep these configs small; the compiled L=16 kernel at
+    # b=5/8 is covered by the full-sweep equality test below (Pallas vs
+    # XLA engine, both compiled).
     _tpu_or_skip()
     from polar_tpu.models.polar.pallas_scl import subtree_pallas
     a, frz, pm = _rand_subtree(b, L, 256, seed=b * 10 + L)
@@ -61,33 +64,26 @@ def test_sc_subtree_compiled_equals_interpret(b):
     np.testing.assert_array_equal(np.asarray(outc), np.asarray(outi))
 
 
-@pytest.mark.parametrize("use_pallas", [True, False])
-def test_scl_sweep_pallas_equals_xla(use_pallas):
-    """Full scan-engine SCL sweep: compiled Pallas path == pure-XLA path
-    (recorded against the use_pallas=False reference run)."""
+@pytest.mark.parametrize("L", [8, 16])
+def test_scl_sweep_pallas_equals_xla(L):
+    """Full scan-engine SCL sweep: compiled Pallas path == pure-XLA path,
+    both compiled on the chip."""
     _tpu_or_skip()
     from polar_tpu.models.polar.scan_core import scl_sweep_hybrid
     from polar_tpu.models.polar.construction import generate_5g_ranking
-    n, k, bs, L = 1024, 512, 256, 8
+    n, k, bs = 1024, 512, 256
     frozen, _ = generate_5g_ranking(k, n)
     mask = np.zeros(n, dtype=bool)
     mask[frozen] = True
     rng = np.random.default_rng(42)
     llr = jnp.asarray(rng.normal(0, 4, size=(n, bs)).astype(np.float32))
-
-    @jax.jit
-    def run():
-        return scl_sweep_hybrid(llr, mask, L, mode="minsum",
-                                use_pallas=use_pallas)
-
-    u, pm = run()
-    got = (np.asarray(u), np.asarray(pm))
-    cache = test_scl_sweep_pallas_equals_xla.__dict__.setdefault("ref", {})
-    if "out" in cache:
-        np.testing.assert_array_equal(got[0], cache["out"][0])
-        np.testing.assert_array_equal(got[1], cache["out"][1])
-    else:
-        cache["out"] = got
+    outs = []
+    for up in (True, False):
+        u, pm = jax.jit(lambda up=up: scl_sweep_hybrid(
+            llr, mask, L, mode="minsum", use_pallas=up))()
+        outs.append((np.asarray(u), np.asarray(pm)))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    np.testing.assert_array_equal(outs[0][1], outs[1][1])
 
 
 def test_sc_sweep_pallas_equals_xla():
