@@ -51,6 +51,11 @@ def main():
 
     # compile + warmup (excluded from timing)
     float(step(jax.random.PRNGKey(0), jnp.float32(2.0)))
+    # burn the relay ramp: the first dispatch loop in a process runs
+    # ~50 ms/batch regardless of content (~850 ms total); without this the
+    # measured window absorbs it and underreports steady-state throughput
+    float(sum(step(jax.random.PRNGKey(100 + i), jnp.float32(2.0))
+              for i in range(8)))
 
     t0 = time.perf_counter()
     # dispatch all batches asynchronously; one device->host sync at the end

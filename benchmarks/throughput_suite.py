@@ -34,7 +34,11 @@ def chain_bps(model, k, bs, iters=16, ebno_db=2.0):
         b, b_hat = model.step(key, bs, e)
         return count_errors(b, b_hat)
 
-    float(step(jax.random.PRNGKey(0), jnp.float32(ebno_db)))  # warmup
+    float(step(jax.random.PRNGKey(0), jnp.float32(ebno_db)))  # compile
+    # relay ramp: the first dispatch loop in a process runs ~50 ms/batch
+    # regardless of content (~850 ms total); burn it before timing
+    float(sum(step(jax.random.PRNGKey(90 + i), jnp.float32(ebno_db))
+              for i in range(4)))
     t0 = time.perf_counter()
     vals = [step(jax.random.PRNGKey(i + 1), jnp.float32(ebno_db))
             for i in range(iters)]
@@ -89,6 +93,12 @@ def main():
             (f"bp20_n{n}", k, n, enc,
              pt.PolarBPDecoder(frozen, n, num_iter=20)),
         ]
+    # the reference CLI's default blocklength (n=64); short blocks are
+    # dispatch-bound so the row runs at 8x batch
+    frozen64, _ = pt.generate_5g_ranking(32, 64)
+    configs.append(("sc_n64", 32, 64, pt.PolarEncoder(frozen64, 64),
+                    pt.PolarSCDecoder(frozen64, 64), 2.0, 65536))
+
     # larger list sizes at the north-star blocklength (XLA scan engine;
     # see scan_core.scl_sweep_hybrid for why L != 8 avoids the Pallas path)
     frozen1k, _ = pt.generate_5g_ranking(512, 1024)

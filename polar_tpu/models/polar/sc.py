@@ -92,10 +92,27 @@ class PolarSCDecoder:
         rec(llr, 0)
         return jnp.concatenate(decisions, axis=0)
 
+    # whole decode in ONE fused Pallas kernel: n <= 512 keeps the full
+    # (2n-1)-row workspace in VMEM (~6.3 MB at n=512), so there is no
+    # outer scan/dispatch at all — this closes the round-1 mid-blocklength
+    # hole where SC n=256 ran 5x slower than SCL-8 (dispatch-bound)
+    FULL_FUSE_MAX_N = 512
+
     def _decode_2d(self, llr_logits):
         """[bs, n] logits -> [bs, k] hard decisions (output dtype)."""
         llr = -llr_logits.astype(jnp.float32).T  # [n, bs], true LLRs
-        if self.schedule == "scan":
+        bs = llr.shape[1]
+        if (jax.default_backend() not in ("cpu",)
+                and self.n <= self.FULL_FUSE_MAX_N and bs % 128 == 0):
+            from polar_tpu.models.polar.pallas_scl import sc_subtree_pallas
+            S = int(np.log2(self.n))
+            cw = sc_subtree_pallas(
+                llr, jnp.asarray(self._frozen_mask.astype(np.int32)),
+                b=S, llr_max=self.llr_max, mode=self.mode)
+            # the kernel emits the codeword (stage-S partial sums); the
+            # decisions are its polar transform (involution)
+            u = polar_transform(cw.astype(jnp.int8), axis=0)
+        elif self.schedule == "scan":
             from polar_tpu.models.polar.scan_core import sc_sweep_hybrid
             u = sc_sweep_hybrid(llr, self._frozen_mask, mode=self.mode,
                                 llr_max=self.llr_max)

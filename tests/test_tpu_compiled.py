@@ -86,6 +86,26 @@ def test_scl_sweep_pallas_equals_xla(L):
     np.testing.assert_array_equal(outs[0][1], outs[1][1])
 
 
+@pytest.mark.parametrize("n", [64, 256, 512])
+def test_sc_full_fused_decoder_equals_xla(n):
+    """PolarSCDecoder's whole-tree fused kernel (n <= 512, bs%128==0)
+    must equal the pure-XLA unrolled tree bit-for-bit."""
+    _tpu_or_skip()
+    from polar_tpu.models.polar.sc import PolarSCDecoder
+    from polar_tpu.models.polar.construction import generate_5g_ranking
+    k = n // 2
+    frozen, _ = generate_5g_ranking(k, n)
+    rng = np.random.default_rng(n)
+    llr = jnp.asarray(rng.normal(0, 4, size=(256, n)).astype(np.float32))
+    dec = PolarSCDecoder(frozen, n)  # bs=256 -> full-fused Pallas path
+    got = np.asarray(dec(llr))
+    # pure-XLA reference: the unrolled tree on the same inputs
+    llr_t = -np.asarray(llr).T
+    u = jax.jit(dec._decode_tree)(jnp.asarray(llr_t))
+    want = np.asarray(jnp.take(u, dec._info_idx, axis=0)).T
+    np.testing.assert_array_equal(got, want.astype(np.float32))
+
+
 def test_sc_sweep_pallas_equals_xla():
     _tpu_or_skip()
     from polar_tpu.models.polar.scan_core import sc_sweep_hybrid
