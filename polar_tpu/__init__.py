@@ -23,6 +23,7 @@ from polar_tpu.ops.channels import AWGN, BinaryErasureChannel, BinarySymmetricCh
 from polar_tpu.ops.crc import CRCEncoder, CRCDecoder
 from polar_tpu.models.polar.construction import (
     generate_5g_ranking,
+    generate_ga_code,
     generate_rm_code,
     get_kern_frozen_bits,
     gen_arikan,
@@ -54,7 +55,7 @@ __all__ = [
     "Constellation", "QamConstell", "Mapper", "Demapper", "SymbolLogits2LLRs",
     "AWGN", "BinaryErasureChannel", "BinarySymmetricChannel", "complex_normal",
     "CRCEncoder", "CRCDecoder",
-    "generate_5g_ranking", "generate_rm_code", "get_kern_frozen_bits", "gen_arikan",
+    "generate_5g_ranking", "generate_rm_code", "generate_ga_code", "get_kern_frozen_bits", "gen_arikan",
     "PolarEncoder", "Polar5GEncoder",
     "PolarSCDecoder", "PolarSCLDecoder", "HybridSCLDecoder", "PolarBPDecoder", "Polar5GDecoder",
     "OSDecoder", "NoEncoder", "NoDecoder",

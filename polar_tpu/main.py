@@ -34,6 +34,9 @@ def gen_code(c: PolarConfig, name: str, mode: str = "sc"):
         _, _, frozen_pos = get_kern_frozen_bits(c.n, c.n - c.k, ARIKAN_F2)
     elif c.construction == "5g":
         frozen_pos, _ = generate_5g_ranking(c.k, c.n)
+    elif c.construction == "ga":
+        from polar_tpu.models.polar.construction import generate_ga_code
+        frozen_pos, _ = generate_ga_code(c.k, c.n, c.design_snr)
     else:
         raise ValueError(f"unknown construction {c.construction!r}")
     f_mode = "minsum" if c.mode in ("max", "minsum") else "exact"

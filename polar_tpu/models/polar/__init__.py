@@ -1,5 +1,6 @@
 from polar_tpu.models.polar.construction import (
     generate_5g_ranking,
+    generate_ga_code,
     generate_rm_code,
     get_kern_frozen_bits,
     gen_arikan,

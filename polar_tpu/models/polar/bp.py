@@ -56,7 +56,8 @@ class PolarBPDecoder:
     def __init__(self, frozen_pos, n: int, num_iter: int = 20,
                  mode: str = "minsum", hard_out: bool = True,
                  llr_max: float = 30.0, msf: float = 0.9375,
-                 early_stop: bool = True, output_dtype=jnp.float32):
+                 early_stop: bool = True, check_every: int = 2,
+                 output_dtype=jnp.float32):
         n = int(n)
         assert np.log2(n) == int(np.log2(n)), "n must be a power of 2."
         assert num_iter >= 1
@@ -69,6 +70,10 @@ class PolarBPDecoder:
         self.hard_out = bool(hard_out)
         self.llr_max = float(llr_max)
         self.early_stop = bool(early_stop)
+        # run this many sweeps between convergence checks: the G-matrix
+        # re-encode adds ~15% element-ops per sweep, so checking every
+        # sweep taxes the worst-case (non-converging) blocks the most
+        self.check_every = max(1, int(check_every))
         self.output_dtype = output_dtype
         assert mode in F_FUNCTIONS, f"unknown mode {mode!r}"
         self.mode = mode
@@ -152,12 +157,14 @@ class PolarBPDecoder:
 
             def body(carry):
                 i, lmsg, rmsg, done = carry
-                l_new, r_new = sweep(lmsg, rmsg)
+                l_new, r_new = lmsg, rmsg
+                for _ in range(self.check_every):
+                    l_new, r_new = sweep(l_new, r_new)
                 # freeze converged blocks — BP can oscillate out of a codeword
                 keep = done[None, None, :]
                 lmsg = jnp.where(keep, lmsg, l_new)
                 rmsg = jnp.where(keep, rmsg, r_new)
-                return (i + 1, lmsg, rmsg,
+                return (i + self.check_every, lmsg, rmsg,
                         jnp.logical_or(done, converged(lmsg, rmsg)))
 
             carry = (jnp.int32(0), lmsg, rmsg, jnp.zeros(bs, bool))

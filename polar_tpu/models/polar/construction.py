@@ -104,6 +104,32 @@ def generate_rm_code(r: int, m: int):
     return frozen_pos, info_pos, n, k, d_min
 
 
+def generate_ga_code(k: int, n: int, design_ebno_db: float = 2.0):
+    """AWGN-matched frozen set via density-evolution Gaussian approximation
+    (Trifonov 2012) — a construction the reference does not have (its CLI
+    uses RM row weights, its 5G path the fixed reliability table).
+
+    The per-bit-channel LLR means are computed by the native C++ recursion
+    in ``polar_tpu/native/ga.cpp`` (NumPy fallback). The channel LLR mean
+    at the design point is ``m0 = 4 R Eb/N0`` (QPSK-per-dim AWGN with
+    exact demap: LLR ~ N(2/No, 4/No), ``No = 1/(2 R Eb/N0)``).
+
+    Returns ``[frozen_pos, info_pos]`` like :func:`generate_5g_ranking`.
+    Ties (degenerate at large n where means saturate) break toward
+    freezing the lower index, matching the package's stable-argsort rule.
+    """
+    k = int(k)
+    n = int(n)
+    assert 0 < k < n and (n & (n - 1)) == 0
+    from polar_tpu.native import ga_bit_channel_means
+    m0 = 4.0 * (k / n) * 10.0 ** (float(design_ebno_db) / 10.0)
+    means = ga_bit_channel_means(n, m0)
+    order = np.argsort(means, kind="stable")  # ascending reliability
+    frozen_pos = np.sort(order[: n - k])
+    info_pos = np.sort(order[n - k:])
+    return [frozen_pos, info_pos]
+
+
 def info_positions(frozen_pos: np.ndarray, n: int) -> np.ndarray:
     """Complement of ``frozen_pos`` in ``range(n)``."""
     return np.setdiff1d(np.arange(n), np.asarray(frozen_pos, dtype=np.int64))

@@ -103,3 +103,63 @@ def test_zoo_kernel_feeds_construction():
     np.testing.assert_array_equal(frozen, np.sort(order))
     g2, w2, frozen2 = get_kern_frozen_bits(256, 128, get_kernel("G16"))
     assert g2.shape == (256, 256) and len(frozen2) == 128
+
+
+def test_ga_construction_native_matches_numpy():
+    """The C++ GA recursion and its NumPy twin agree: same frozen sets,
+    and means equal to float tolerance below the saturation cap (libm vs
+    numpy transcendental ulp differences amplify only in the saturated
+    m > 1e6 regime where ordering is degenerate anyway)."""
+    from polar_tpu import native
+    if not native.have_native():
+        import pytest
+        pytest.skip("no C++ toolchain in this environment")
+    for n in (64, 512):
+        a = native.ga_bit_channel_means(n, 3.2)
+        b = native.ga_bit_channel_means(n, 3.2, force_numpy=True)
+        live = (a < 1e6) & (b < 1e6)
+        np.testing.assert_allclose(a[live], b[live], rtol=1e-6)
+        k = n // 2
+        np.testing.assert_array_equal(
+            np.sort(np.argsort(a, kind="stable")[: n - k]),
+            np.sort(np.argsort(b, kind="stable")[: n - k]))
+
+
+def test_ga_construction_structure():
+    from polar_tpu.models.polar.construction import generate_ga_code
+    frozen, info = generate_ga_code(32, 64, design_ebno_db=2.0)
+    assert len(frozen) == 32 and len(info) == 32
+    assert len(np.intersect1d(frozen, info)) == 0
+    # channel 0 is the worst synthetic channel, n-1 the best
+    assert 0 in frozen and 63 in info
+    # GA at a matched design point should broadly agree with the 5G table
+    frozen_5g, _ = generate_5g_ranking(32, 64)
+    overlap = len(np.intersect1d(frozen, frozen_5g)) / 32
+    assert overlap >= 0.8, overlap
+
+
+def test_ga_code_decodes_at_design_snr():
+    """A GA-constructed code must decode at least as well as the RM
+    min-weight construction at its design SNR (fixed-seed SC smoke)."""
+    import jax.numpy as jnp
+    from polar_tpu.models.polar.construction import generate_ga_code
+    from polar_tpu.models.polar.encode import PolarEncoder
+    from polar_tpu.models.polar.sc import PolarSCDecoder
+    n, k, ebno = 128, 64, 2.0
+    rng = np.random.default_rng(0)
+    blers = {}
+    for name in ("ga", "rm"):
+        if name == "ga":
+            frozen, _ = generate_ga_code(k, n, design_ebno_db=ebno)
+        else:
+            _, _, frozen = get_kern_frozen_bits(n, n - k, ARIKAN_F2)
+        enc = PolarEncoder(frozen, n)
+        dec = PolarSCDecoder(frozen, n)
+        u = rng.integers(0, 2, size=(512, k)).astype(np.float32)
+        c = np.asarray(enc(jnp.asarray(u)))
+        sigma = np.sqrt(1.0 / (2 * 10 ** (ebno / 10) * (k / n)))
+        noisy = (2.0 * c - 1.0) + rng.normal(
+            0, sigma, size=c.shape).astype(np.float32)
+        d = np.asarray(dec(jnp.asarray((2.0 / sigma**2) * noisy)))
+        blers[name] = np.mean(np.any(d != u, axis=1))
+    assert blers["ga"] <= blers["rm"], blers
