@@ -52,17 +52,20 @@ class Polar5GDecoder:
             self._ind_iil_inv = None
 
         crc_degree = enc_polar.enc_crc.crc_degree
+        pc_pos = getattr(enc_polar, "pc_pos", None)
         if dec_type == "SC":
             # CRC cannot aid plain SC decoding (reference prints the same
             # warning, dec.py:565)
             self._polar_dec = PolarSCDecoder(enc_polar._frozen_pos,
-                                             self._n_polar, mode=mode)
+                                             self._n_polar, mode=mode,
+                                             pc_pos=pc_pos)
         elif dec_type == "SCL":
             iil_inv = (np.argsort(rm.input_interleaver(
                 np.arange(self._k_polar))) if self._iil else None)
             self._polar_dec = PolarSCLDecoder(
                 enc_polar._frozen_pos, self._n_polar, list_size=list_size,
-                crc_degree=crc_degree, mode=mode, ind_iil_inv=iil_inv)
+                crc_degree=crc_degree, mode=mode, ind_iil_inv=iil_inv,
+                pc_pos=pc_pos)
         elif dec_type == "hybSCL":
             # SC-first CA-SCL (the reference's _decode_np_hybrid algorithm,
             # my_sn/fec/polar/dec.py:437-470, which it force-disables at
@@ -72,7 +75,8 @@ class Polar5GDecoder:
                 np.arange(self._k_polar))) if self._iil else None)
             self._polar_dec = HybridSCLDecoder(
                 enc_polar._frozen_pos, self._n_polar, list_size=list_size,
-                crc_degree=crc_degree, mode=mode, ind_iil_inv=iil_inv)
+                crc_degree=crc_degree, mode=mode, ind_iil_inv=iil_inv,
+                pc_pos=getattr(enc_polar, "pc_pos", None))
         else:
             raise ValueError("Unknown value for dec_type.")
 

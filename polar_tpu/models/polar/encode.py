@@ -94,12 +94,17 @@ class Polar5GEncoder(PolarEncoder):
     """
 
     def __init__(self, k: int, n: int, channel_type: str = "uplink",
-                 verbose: bool = False, dtype=jnp.float32):
+                 verbose: bool = False, enable_pc: bool = True,
+                 dtype=jnp.float32):
         k = int(k)
         n = int(n)
         assert n >= k, "Invalid coderate (>1)."
         assert channel_type in ("uplink", "downlink"), "Unsupported channel_type."
         self._channel_type = channel_type
+        # TS 38.212 PC bits for uplink 12<=k<=19 (see pc.py). enable_pc=False
+        # reproduces the reference's non-compliant no-PC encoding
+        # (my_sn/fec/polar/enc.py:262-268) for fixture parity.
+        self._enable_pc = bool(enable_pc)
         self._k_target = k
         self._n_target = n
         self._verbose = verbose
@@ -110,6 +115,20 @@ class Polar5GEncoder(PolarEncoder):
                                else np.asarray(idx_input))
         super().__init__(frozen_pos, n_polar, dtype=dtype)
         self._enc_crc = CRCEncoder(crc_degree, k=k, dtype=dtype)
+        if self._pc_pos is not None:
+            from polar_tpu.models.polar import pc
+            self._pc_is_data, self._pc_is_pc = pc.pc_flags(
+                n_polar, self.info_pos, self._pc_pos)
+            data_pos = np.nonzero(self._pc_is_data)[0]
+            k_data = len(data_pos)  # payload + CRC
+            gather = np.full(n_polar, k_data, dtype=np.int64)
+            gather[data_pos] = np.arange(k_data)
+            self._pc_scatter_idx = gather
+
+    @property
+    def pc_pos(self):
+        """PC-bit positions (TS 38.212 5.3.1.2) or None."""
+        return self._pc_pos
 
     # --- public properties (reference-compatible surface) ---
     @property
@@ -159,12 +178,12 @@ class Polar5GEncoder(PolarEncoder):
                     "k_target < 12 is not supported in 5G NR uplink; use the "
                     "'channel coding of small block lengths' scheme "
                     "(Sec. 5.3.3 of TS 38.212) instead.")
-            n_pc = 0
-            if k_target <= 19 and self._verbose:
-                # 3 PC bits of 38.212 deliberately not implemented (parity
-                # with the reference, my_sn/fec/polar/enc.py:262-268).
-                print("Warning: for 12<=k<=19, 38.212 defines 3 additional "
-                      "parity-check bits which are not implemented.")
+            # 12<=k<=19: the 3 PC bits of 38.212 Sec. 5.3.1.2 — implemented
+            # (the reference only prints a warning and encodes without
+            # them, my_sn/fec/polar/enc.py:262-268; see pc.py). Skipped
+            # when they cannot fit the target length (rate would exceed 1).
+            n_pc = 3 if (k_target <= 19 and self._enable_pc
+                         and k_target + k_crc + 3 <= n_target) else 0
         else:  # downlink
             assert k_target <= 140, "k too large for downlink channel config."
             assert n_target >= 25, "n too small for downlink (24-bit CRC)."
@@ -206,10 +225,20 @@ class Polar5GEncoder(PolarEncoder):
         prefrozen = np.unique(np.asarray(prefrozen, dtype=np.int64))
 
         # Reliability-ranked info set minus pre-frozen positions
+        # (setdiff1d with assume_unique preserves the reliability order)
         ch_ranking, _ = generate_5g_ranking(0, n_polar, sort=False,
                                             strict=False)
         info_cand = np.setdiff1d(ch_ranking, prefrozen, assume_unique=True)
-        info_pos = np.sort(info_cand[-k_polar:]).astype(np.int64)
+        if n_pc:
+            from polar_tpu.models.polar import pc
+            k_with_crc = k_target + k_crc
+            wm = pc.n_pc_wm(n_target, k_with_crc)
+            info_pos, pc_pos = pc.select_pc_positions(
+                info_cand, k_with_crc, n_pc, wm)
+            self._pc_pos = pc_pos
+        else:
+            info_pos = np.sort(info_cand[-k_polar:]).astype(np.int64)
+            self._pc_pos = None
         frozen_pos = np.setdiff1d(np.arange(n_polar), info_pos,
                                   assume_unique=True)
 
@@ -247,5 +276,13 @@ class Polar5GEncoder(PolarEncoder):
         u_crc = self._enc_crc(u)
         if self._channel_type == "downlink":
             u_crc = jnp.take(u_crc, self._ind_input_int, axis=-1)
-        c = PolarEncoder.__call__(self, u_crc)
+        if self._pc_pos is not None:
+            from polar_tpu.models.polar import pc
+            pad = jnp.zeros(u_crc.shape[:-1] + (1,), dtype=u_crc.dtype)
+            u0 = jnp.take(jnp.concatenate([u_crc, pad], axis=-1),
+                          self._pc_scatter_idx, axis=-1)
+            u_full = pc.pc_expand(u0, self._pc_is_data, self._pc_is_pc)
+            c = polar_transform(u_full).astype(self.dtype)
+        else:
+            c = PolarEncoder.__call__(self, u_crc)
         return jnp.take(c, self._ind_rate_matching, axis=-1)

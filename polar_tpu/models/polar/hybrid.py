@@ -49,16 +49,18 @@ class HybridSCLDecoder:
                  crc_degree=None, mode: str = "minsum",
                  llr_max: float = 30.0, ind_iil_inv=None,
                  schedule: str = "auto", return_crc_status: bool = False,
-                 min_capacity: int = 128, output_dtype=jnp.float32):
+                 min_capacity: int = 128, pc_pos=None,
+                 output_dtype=jnp.float32):
         if crc_degree is None:
             raise ValueError("hybrid SC/SCL decoding requires crc_degree "
                              "(the SC accept test is the CRC).")
         self._sc = PolarSCDecoder(frozen_pos, n, mode=mode, llr_max=llr_max,
-                                  schedule=schedule)
+                                  schedule=schedule, pc_pos=pc_pos)
         self._scl = PolarSCLDecoder(frozen_pos, n, list_size=list_size,
                                     crc_degree=crc_degree, mode=mode,
                                     llr_max=llr_max, ind_iil_inv=ind_iil_inv,
-                                    schedule=schedule, return_crc_status=True)
+                                    schedule=schedule, return_crc_status=True,
+                                    pc_pos=pc_pos)
         self.n = self._sc.n
         self.k = self._sc.k
         self.frozen_pos = self._sc.frozen_pos

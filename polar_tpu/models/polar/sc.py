@@ -43,7 +43,7 @@ class PolarSCDecoder:
 
     def __init__(self, frozen_pos, n: int, mode: str = "minsum",
                  llr_max: float = 30.0, schedule: str = "auto",
-                 output_dtype=jnp.float32):
+                 pc_pos=None, output_dtype=jnp.float32):
         n = int(n)
         assert np.log2(n) == int(np.log2(n)), "n must be a power of 2."
         assert n >= 2
@@ -60,6 +60,20 @@ class PolarSCDecoder:
         self._frozen_mask = np.zeros(n, dtype=bool)
         self._frozen_mask[self.frozen_pos] = True
         self._info_idx = self.info_pos
+        # 5G PC bits (TS 38.212 5.3.1.2): dynamically-frozen positions whose
+        # value comes from the per-path length-5 shift register. The decode
+        # is inherently sequential over leaves, so PC forces the unrolled
+        # engine (mother codes with PC are n <= 1024, fine unrolled for SC).
+        self.pc_pos = (None if pc_pos is None
+                       else np.asarray(pc_pos, dtype=np.int64))
+        if self.pc_pos is not None:
+            self._pc_mask = np.zeros(n, dtype=bool)
+            self._pc_mask[self.pc_pos] = True
+            assert not (self._pc_mask & self._frozen_mask).any()
+            # decoder output excludes the PC positions
+            self._info_idx = np.setdiff1d(self.info_pos, self.pc_pos)
+            self.k = len(self._info_idx)
+            schedule = "unrolled"
         assert schedule in ("auto", "unrolled", "scan")
         if schedule == "auto":
             schedule = "scan" if n >= SCAN_THRESHOLD_N else "unrolled"
@@ -71,16 +85,26 @@ class PolarSCDecoder:
         """llr: [n, bs] true LLRs. Returns decisions u [n, bs] int8."""
         f = self._f
         decisions = [None] * self.n
+        pc_on = self.pc_pos is not None
+        # TS 38.212 PC shift register (rotates at EVERY leaf) — [5, bs]
+        y = jnp.zeros((5, llr.shape[1]), dtype=jnp.int8) if pc_on else None
 
         def rec(llr_seg, lo):
+            nonlocal y
             m = llr_seg.shape[0]
             if m == 1:
+                if pc_on:
+                    y = jnp.roll(y, -1, axis=0)
                 if self._frozen_mask[lo]:
                     u = jnp.zeros(llr_seg.shape, dtype=jnp.int8)
+                elif pc_on and self._pc_mask[lo]:
+                    u = y[0][None, :]  # dynamically-frozen PC value
                 else:
                     # hard decision; exact-zero LLR maps to bit 1 (reference
                     # tie-break, polar_sc.py:96-97)
                     u = (llr_seg <= 0).astype(jnp.int8)
+                    if pc_on:
+                        y = y.at[0].set(y[0] ^ u[0])
                 decisions[lo] = u
                 return u
             half = m // 2
@@ -102,7 +126,7 @@ class PolarSCDecoder:
         """[bs, n] logits -> [bs, k] hard decisions (output dtype)."""
         llr = -llr_logits.astype(jnp.float32).T  # [n, bs], true LLRs
         bs = llr.shape[1]
-        if (jax.default_backend() not in ("cpu",)
+        if (jax.default_backend() not in ("cpu",) and self.pc_pos is None
                 and self.n <= self.FULL_FUSE_MAX_N and bs % 128 == 0):
             from polar_tpu.models.polar.pallas_scl import sc_subtree_pallas
             S = int(np.log2(self.n))

@@ -57,7 +57,7 @@ class PolarSCLDecoder:
                  use_fast_scl=None, return_crc_status: bool = False,
                  mode: str = "minsum", llr_max: float = 30.0,
                  ind_iil_inv=None, schedule: str = "auto",
-                 output_dtype=jnp.float32):
+                 pc_pos=None, output_dtype=jnp.float32):
         n = int(n)
         assert len(frozen_pos) <= n
         assert np.log2(n) == int(np.log2(n)), "n must be a power of 2."
@@ -90,6 +90,21 @@ class PolarSCLDecoder:
         self._frozen_mask = np.zeros(n, dtype=bool)
         self._frozen_mask[self.frozen_pos] = True
         self._info_idx = self.info_pos
+
+        # 5G PC bits (TS 38.212 5.3.1.2): per-path length-5 shift register,
+        # PC positions decode as dynamically-frozen (value y[0]). Forces the
+        # unrolled engine (the register is leaf-sequential) without
+        # fast-SCL pruning (prunes skip the register's leaf walk).
+        self.pc_pos = (None if pc_pos is None
+                       else np.asarray(pc_pos, dtype=np.int64))
+        if self.pc_pos is not None:
+            self._pc_mask = np.zeros(n, dtype=bool)
+            self._pc_mask[self.pc_pos] = True
+            assert not (self._pc_mask & self._frozen_mask).any()
+            self._info_idx = np.setdiff1d(self.info_pos, self.pc_pos)
+            self.k = len(self._info_idx)
+            schedule = "unrolled"
+            use_fast_scl = False
 
         if crc_degree is not None:
             self._use_crc = True
@@ -146,7 +161,7 @@ class PolarSCLDecoder:
     def _fork(self, state, pmc, last_leaf: int, min_stage: int):
         """pmc: [2L, bs] candidate PMs, candidate j = (bit j//L, parent j%L).
         Returns (state, ubit[L, bs] int8) for the surviving paths."""
-        lbuf, u0, pm = state
+        lbuf, u0, pm, y = state
         L = self.list_size
         neg_vals, idx = jax.lax.top_k(-pmc.T, L)  # [bs, L]
         new_pm = (-neg_vals).T  # [L, bs]
@@ -169,7 +184,9 @@ class PolarSCLDecoder:
                 seg = jax.lax.dynamic_slice_in_dim(u0, off, w, axis=0)
                 seg = jnp.take_along_axis(seg, pidx3, axis=1)
                 u0 = jax.lax.dynamic_update_slice_in_dim(u0, seg, off, axis=0)
-        return (lbuf, u0, new_pm), ubit
+        if y is not None:  # PC shift register follows its surviving path
+            y = jnp.take_along_axis(y, parent[None, :, :], axis=1)
+        return (lbuf, u0, new_pm, y), ubit
 
     # ------------------------------------------------------------------
     # trace-time recursion over the decode tree
@@ -179,7 +196,7 @@ class PolarSCLDecoder:
         Returns (state, u_node[2^s, L, bs] int8) — the node's partial sums,
         valid at its completion time."""
         L = self.list_size
-        lbuf, u0, pm = state
+        lbuf, u0, pm, y = state
         bs = llr_ch.shape[-1]
         width = 1 << s
 
@@ -198,7 +215,7 @@ class PolarSCLDecoder:
             a = read_input(lbuf)
             pm = pm + jnp.sum(_softplus(-clip(a)), axis=0)
             u = jnp.zeros((width, L, bs), dtype=jnp.int8)
-            return (lbuf, u0, pm), u
+            return (lbuf, u0, pm, y), u
 
         if (self.use_fast_scl and s >= 1 and not seg_frozen[-1]
                 and seg_frozen[:-1].all()):
@@ -207,7 +224,7 @@ class PolarSCLDecoder:
             pm0 = pm + jnp.sum(_softplus(-a), axis=0)
             pm1 = pm + jnp.sum(_softplus(a), axis=0)
             pmc = jnp.concatenate([pm0, pm1], axis=0)
-            state, ubit = self._fork((lbuf, u0, pm), pmc,
+            state, ubit = self._fork((lbuf, u0, pm, y), pmc,
                                      last_leaf=lo + width - 1, min_stage=s)
             u = jnp.broadcast_to(ubit[None, :, :], (width, L, bs)).astype(
                 jnp.int8)
@@ -215,15 +232,28 @@ class PolarSCLDecoder:
 
         if s == 0:
             llr0 = lbuf[0]  # [L, bs] — leaf input written by the parent
+            if y is not None:
+                # TS 38.212 PC register rotates at EVERY leaf
+                y = jnp.roll(y, -1, axis=0)
             if seg_frozen[0]:
                 pm = pm + _softplus(-clip(llr0))
                 u = jnp.zeros((1, L, bs), dtype=jnp.int8)
-                return (lbuf, u0, pm), u
+                return (lbuf, u0, pm, y), u
+            if y is not None and self._pc_mask[lo]:
+                # dynamically-frozen PC leaf: bit forced to y[0] per path
+                u = y[0]  # [L, bs] int8
+                sgn = 1.0 - 2.0 * u.astype(jnp.float32)
+                pm = pm + _softplus(-sgn * clip(llr0))
+                return (lbuf, u0, pm, y), u[None, :, :]
             sp = _softplus(-clip(llr0))
             sn = _softplus(clip(llr0))
             pmc = jnp.concatenate([pm + sp, pm + sn], axis=0)
-            state, ubit = self._fork((lbuf, u0, pm), pmc, last_leaf=lo,
+            state, ubit = self._fork((lbuf, u0, pm, y), pmc, last_leaf=lo,
                                      min_stage=0)
+            if y is not None:
+                lbuf, u0, pm, y = state
+                y = y.at[0].set(y[0] ^ ubit)
+                state = (lbuf, u0, pm, y)
             return state, ubit[None, :, :]
 
         # internal node: f -> left subtree -> g -> right subtree -> combine
@@ -233,7 +263,8 @@ class PolarSCLDecoder:
         f_val = self._f(a[:half], a[half:], self.llr_max)
         lbuf = jax.lax.dynamic_update_slice_in_dim(lbuf, f_val, child_off,
                                                    axis=0)
-        (lbuf, u0, pm), u_l = self._node((lbuf, u0, pm), llr_ch, s - 1, lo)
+        (lbuf, u0, pm, y), u_l = self._node((lbuf, u0, pm, y), llr_ch,
+                                            s - 1, lo)
         # persist the left result where forks in the right subtree can
         # re-permute it
         u0 = jax.lax.dynamic_update_slice_in_dim(u0, u_l, child_off, axis=0)
@@ -242,11 +273,11 @@ class PolarSCLDecoder:
         g_val = g_op(a[:half], a[half:], u_l_cur)
         lbuf = jax.lax.dynamic_update_slice_in_dim(lbuf, g_val, child_off,
                                                    axis=0)
-        (lbuf, u0, pm), u_r = self._node((lbuf, u0, pm), llr_ch, s - 1,
-                                         lo + half)
+        (lbuf, u0, pm, y), u_r = self._node((lbuf, u0, pm, y), llr_ch,
+                                            s - 1, lo + half)
         u_l_cur = jax.lax.dynamic_slice_in_dim(u0, child_off, half, axis=0)
         u = jnp.concatenate([u_l_cur ^ u_r, u_r], axis=0)
-        return (lbuf, u0, pm), u
+        return (lbuf, u0, pm, y), u
 
     # ------------------------------------------------------------------
     def _decode_2d(self, llr_logits):
@@ -267,8 +298,10 @@ class PolarSCLDecoder:
             # polar_scl.py:193-195)
             pm = jnp.full((L, bs), self.llr_max, dtype=jnp.float32)
             pm = pm.at[0].set(0.0)
-            (lbuf, u0, pm), cw = self._node((lbuf, u0, pm), llr_ch,
-                                            self._S, 0)
+            y = (jnp.zeros((5, L, bs), dtype=jnp.int8)
+                 if self.pc_pos is not None else None)
+            (lbuf, u0, pm, y), cw = self._node((lbuf, u0, pm, y), llr_ch,
+                                               self._S, 0)
             # decisions u = G c (the polar transform is an involution)
             u_all = polar_transform(cw, axis=0)  # [n, L, bs]
 

@@ -13,7 +13,9 @@ from polar_tpu.models.polar.decode5g import Polar5GDecoder
 @pytest.mark.parametrize("k,n", [(32, 140), (20, 90), (40, 100),
                                  (12, 48), (64, 200)])
 def test_5g_scl_decoder_matches_reference(polar5g_fix, k, n):
-    enc = Polar5GEncoder(k=k, n=n)
+    # enable_pc=False: fixtures come from the reference's no-PC encoding
+    # (tests/test_pc.py covers the standards-correct PC chain)
+    enc = Polar5GEncoder(k=k, n=n, enable_pc=False)
     # the reference my_sn SCL decoder uses the exact f-function
     dec = Polar5GDecoder(enc, dec_type="SCL", list_size=8, mode="exact")
     llr = polar5g_fix[f"ul_k{k}_n{n}_llr"]
