@@ -14,11 +14,12 @@ import time
 # amortize XLA compile across runs
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.cache/polar_tpu_xla"))
-# 256-leaf fused subtrees: most of the SCL decode runs inside one Pallas
-# kernel invocation per super-leaf. Measured full-chain bit/s at bs=8192:
-# b=5: 19.3M, b=7: 22.2M, b=8: 22.8M, b=9: 12.4M (VMEM pressure kills
-# overlap); decode outputs identical across b.
-os.environ.setdefault("POLAR_TPU_LOWER_STAGES", "8")
+# 512-leaf fused subtrees: with the unrolled outer sweep (scan_core
+# UNROLL_OUTER_MAX_M) the decode is two Pallas kernel calls + two unrolled
+# combine stages. Measured full-chain bit/s at bs=8192: b=8 142.8M,
+# b=9 159.9M (b=9 used to regress under the lax.scan outer — the unroll
+# removed that); bs=16384 is worse at both. Outputs identical across b.
+os.environ.setdefault("POLAR_TPU_LOWER_STAGES", "9")
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.cache/polar_tpu_xla"))
-os.environ.setdefault("POLAR_TPU_LOWER_STAGES", "8")
+os.environ.setdefault("POLAR_TPU_LOWER_STAGES", "9")
 
 import jax
 import jax.numpy as jnp

