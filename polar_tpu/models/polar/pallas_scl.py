@@ -94,10 +94,13 @@ def _subtree_kernel(frz_ref, a_ref, pm_ref, cw_ref, p_ref, pmo_ref,
     uptr = [ident] * b         # stage-s pointer for uloc
     P = ident                  # parent-map composition over the subtree
     pm = pm_ref[:]
-    lloc[off(b):off(b + 1)] = a_ref[:]
+    # stage-b LLRs are NOT copied into scratch: reads go straight to the
+    # input block (a_ref). Halving the workspace doubles the VMEM-legal
+    # batch tile, which halves the grid and with it the kernel's
+    # issue-bound tiny-op count.
 
     def readl(s):
-        seg = lloc[off(s):off(s + 1)]
+        seg = a_ref[:] if s == b else lloc[off(s):off(s + 1)]
         return jnp.stack([_gather_rows(seg[j], lptr[s])
                           for j in range(1 << s)], axis=0)
 
@@ -175,7 +178,8 @@ def _sc_subtree_kernel(frz_ref, a_ref, cw_ref, lloc, uloc, *, b, llr_max,
     _, dsub, rsub = leaf_schedule(w_sub)
     clip = lambda x: jnp.clip(x, -llr_max, llr_max)
 
-    lloc[off(b):off(b + 1)] = a_ref[:]
+    # stage-b LLRs read straight from the input block (no scratch copy —
+    # halves the workspace, doubling the VMEM-legal batch tile)
     for i in range(w_sub):
         d, r = int(dsub[i]), int(rsub[i])
         if i == 0:
@@ -185,7 +189,8 @@ def _sc_subtree_kernel(frz_ref, a_ref, cw_ref, lloc, uloc, *, b, llr_max,
                 cur = f(cur[:h], cur[h:], llr_max)
                 lloc[off(s - 1):off(s)] = cur
         else:
-            seg = lloc[off(d + 1):off(d + 2)]
+            seg = (a_ref[:] if d + 1 == b
+                   else lloc[off(d + 1):off(d + 2)])
             h = 1 << d
             cur = g_op(seg[:h], seg[h:], uloc[off(d):off(d + 1)])
             lloc[off(d):off(d + 1)] = cur
@@ -215,7 +220,7 @@ def sc_subtree_pallas(a, frz, *, b, llr_max, mode, interpret=False,
     [2^b] int32 -> cw [2^b, bs] int32."""
     w_sub, bs = a.shape
     assert w_sub == (1 << b)
-    W = (1 << (b + 1)) - 1
+    W = (1 << b) - 1  # stages 0..b-1; stage b reads the input block
     TB = tile if tile is not None else _auto_tile(bs, W, 8)
     TB = min(TB, bs)
     assert bs % TB == 0
@@ -262,10 +267,10 @@ def subtree_pallas(a, frz, pm, *, b, L, llr_max, mode, interpret=False,
     (cw [2^b, L, bs] int32, P [L, bs] int32, pm [L, bs] f32)."""
     w_sub, L_, bs = a.shape
     assert w_sub == (1 << b) and L_ == L
-    W = (1 << (b + 1)) - 1
+    W = (1 << b) - 1  # stages 0..b-1 only; stage b reads the input block
     # scratch per batch column: (lloc f32 + uloc i32) W rows x L sublanes.
-    # The SCL kernel's I/O blocks are small relative to scratch, so a 10MB
-    # scratch budget fits the 16MB VMEM (verified up to b=9 at L=8).
+    # The input (a) and output (cw) blocks add ~2/3 of scratch again, so a
+    # 10MB scratch budget stays inside the 16MB VMEM.
     TB = tile if tile is not None else _auto_tile(bs, W * L, 8,
                                                   budget=10 * 2 ** 20)
     if L > 8 and bs % 128 == 0:
