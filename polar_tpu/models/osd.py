@@ -8,10 +8,13 @@ the k most reliable bits, then sweep all error patterns of weight <= t.
 
 TPU design notes: the per-sample Gaussian elimination is a ``lax.scan`` over
 the k pivot steps (each step is a full-batch rank-1 GF(2) update — VPU
-work); the candidate sweep is chunked over error patterns with a static
-chunk size so peak memory stays bounded regardless of ``C(k, t)`` (the
-reference instead materializes everything and guards with a hard
-``ResourceWarning``, ``dec.py:44-49`` — the warning thresholds are kept).
+work); the candidate sweep is ONE ``lax.scan`` over a padded
+``[num_chunks, chunk, t]`` pattern-index array (pad rows point at an
+appended all-zero generator row, so padding candidates reproduce the
+order-0 word and can never win the strict distance test) — program size
+stays O(chunk) regardless of ``C(k, t)``, where the reference materializes
+every candidate at once and guards with a hard ``ResourceWarning``
+(``my_sn/osd/dec.py:44-49,148-192`` — the warning thresholds are kept).
 """
 
 import itertools
@@ -54,12 +57,26 @@ class OSDecoder:
         if num_symbols > 1e11:
             raise ResourceWarning(
                 "OSD complexity too high; use a smaller t.")
-        # precompute error-pattern index arrays per order
-        self._err_patterns = [
-            np.array(list(itertools.combinations(range(self._k), ti)),
-                     dtype=np.int32)
-            for ti in range(1, self._t + 1)
-        ]
+        # one combined [P, t] pattern-index array over all orders 1..t,
+        # width-padded with the sentinel index k (an appended all-zero
+        # generator row — repeated-index padding would XOR rows away);
+        # length-padded to a whole number of chunks with all-sentinel rows
+        if self._t > 0:
+            pats = []
+            for ti in range(1, self._t + 1):
+                p = np.array(list(itertools.combinations(range(self._k),
+                                                         ti)),
+                             dtype=np.int32).reshape(-1, ti)
+                pats.append(np.pad(p, ((0, 0), (0, self._t - ti)),
+                                   constant_values=self._k))
+            allp = np.concatenate(pats, axis=0)
+            chunk = min(self._pattern_chunk, len(allp))
+            pad = (-len(allp)) % chunk
+            allp = np.pad(allp, ((0, pad), (0, 0)),
+                          constant_values=self._k)
+            self._pattern_chunks = allp.reshape(-1, chunk, self._t)
+        else:
+            self._pattern_chunks = None
         self._jit_decode = jax.jit(self._decode_2d)
 
     @property
@@ -120,13 +137,18 @@ class OSDecoder:
         c = int_mod_2(jnp.einsum("bk,bkn->bn", u_hd, gm_mrb))
         d_best = self._get_dist(llr_sort, c[:, None, :])[:, 0]
         c_best = c
-        # 4) sweep error patterns of weight 1..t, chunked
-        for ep in self._err_patterns:
-            for lo in range(0, ep.shape[0], self._pattern_chunk):
-                chunk = ep[lo:lo + self._pattern_chunk]
-                rows = jnp.take(gm_mrb, chunk, axis=1)  # [bs, p, t', n]
-                e = jnp.sum(rows, axis=2) + c[:, None, :]
-                c_cand = int_mod_2(e)
+        # 4) sweep error patterns of weight 1..t: ONE lax.scan over padded
+        # pattern chunks (program size independent of C(k, t))
+        if self._pattern_chunks is not None:
+            # sentinel row k is all-zero: padded patterns re-produce c and
+            # lose the strict '<' test below
+            gm_aug = jnp.concatenate(
+                [gm_mrb, jnp.zeros((bs, 1, self._n), gm_mrb.dtype)], axis=1)
+
+            def chunk_step(carry, chunk):  # chunk: [p, t] int32
+                c_best, d_best = carry
+                rows = jnp.take(gm_aug, chunk, axis=1)  # [bs, p, t, n]
+                c_cand = int_mod_2(jnp.sum(rows, axis=2) + c[:, None, :])
                 d = self._get_dist(llr_sort, c_cand)  # [bs, p]
                 arg = jnp.argmin(d, axis=1)
                 d_min = jnp.take_along_axis(d, arg[:, None], axis=1)[:, 0]
@@ -135,6 +157,11 @@ class OSDecoder:
                 better = d_min < d_best
                 c_best = jnp.where(better[:, None], c_min, c_best)
                 d_best = jnp.where(better, d_min, d_best)
+                return (c_best, d_best), None
+
+            (c_best, d_best), _ = jax.lax.scan(
+                chunk_step, (c_best, d_best),
+                jnp.asarray(self._pattern_chunks))
         # 5) undo permutation
         c_hat = jnp.take_along_axis(c_best, idx_sort_inv, axis=1)
         return c_hat.astype(self.dtype)
