@@ -45,11 +45,34 @@ def main():
 
     bit_e, blk_e, nb_bits, nb_blocks = sharded.counted_step(
         jax.random.PRNGKey(7), batch_size=64, ebno_db=2.0)
+
+    # full sim_ber sweep under multi-process SPMD (SURVEY section 7: every
+    # host must take the SAME branch at every early-stop/target decision —
+    # the counters they branch on are psum-reduced and identical). The
+    # 3 points exercise target_block_errs (0/2 dB) AND the error-free
+    # early stop (6 dB); statuses are recovered from the JSONL metrics.
+    import tempfile
+    from polar_tpu.sim import sim_ber
+    jsonl = os.path.join(tempfile.gettempdir(),
+                         f"mh_sim_{process_id}_{port}.jsonl")
+    if os.path.exists(jsonl):
+        os.remove(jsonl)
+    ber, bler = sim_ber(sharded, ebno_dbs=[0.0, 2.0, 6.0, 8.0], batch_size=64,
+                        max_mc_iter=8, target_block_errs=20, verbose=False,
+                        seed=11, jsonl_path=jsonl)
+    with open(jsonl) as f:
+        recs = [json.loads(line) for line in f]
+    os.remove(jsonl)
+
     print(json.dumps({
         "process": pi,
         "is_main": multihost.is_main_process(),
         "bit_errors": int(bit_e), "block_errors": int(blk_e),
         "nb_bits": int(nb_bits), "nb_blocks": int(nb_blocks),
+        "sweep_ber": [float(x) for x in ber],
+        "sweep_bler": [float(x) for x in bler],
+        "sweep_status": [r["status"] for r in recs],
+        "sweep_nb_blocks": [r["num_blocks"] for r in recs],
     }), flush=True)
 
 

@@ -37,6 +37,7 @@ def _single_process_reference():
     from polar_tpu.models.polar.sc import PolarSCDecoder
     from polar_tpu.models.systems import SystemAWGNModel
     from polar_tpu.parallel.sharded import ShardedSystem
+    from polar_tpu.sim import sim_ber
 
     n, k = 32, 16
     frozen, _ = generate_5g_ranking(k, n)
@@ -46,7 +47,24 @@ def _single_process_reference():
     assert sharded.num_shards == 8
     bit_e, blk_e, nb_bits, nb_blocks = sharded.counted_step(
         jax.random.PRNGKey(7), batch_size=64, ebno_db=2.0)
-    return int(bit_e), int(blk_e), int(nb_bits), int(nb_blocks)
+
+    import tempfile
+    jsonl = os.path.join(tempfile.gettempdir(), "mh_sim_single.jsonl")
+    if os.path.exists(jsonl):
+        os.remove(jsonl)
+    ber, bler = sim_ber(sharded, ebno_dbs=[0.0, 2.0, 6.0, 8.0], batch_size=64,
+                        max_mc_iter=8, target_block_errs=20, verbose=False,
+                        seed=11, jsonl_path=jsonl)
+    with open(jsonl) as f:
+        recs = [json.loads(line) for line in f]
+    os.remove(jsonl)
+    sweep = {
+        "sweep_ber": [float(x) for x in ber],
+        "sweep_bler": [float(x) for x in bler],
+        "sweep_status": [r["status"] for r in recs],
+        "sweep_nb_blocks": [r["num_blocks"] for r in recs],
+    }
+    return int(bit_e), int(blk_e), int(nb_bits), int(nb_blocks), sweep
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8,
@@ -80,9 +98,25 @@ def test_two_process_counters_match_single_process():
     for field in ("bit_errors", "block_errors", "nb_bits", "nb_blocks"):
         assert by_pid[0][field] == by_pid[1][field], field
 
-    bit_e, blk_e, nb_bits, nb_blocks = _single_process_reference()
+    bit_e, blk_e, nb_bits, nb_blocks, sweep = _single_process_reference()
     assert by_pid[0]["nb_bits"] == nb_bits
     assert by_pid[0]["nb_blocks"] == nb_blocks
     assert by_pid[0]["bit_errors"] == bit_e
     assert by_pid[0]["block_errors"] == blk_e
     assert 0 < bit_e < nb_bits  # 2 dB on n=32: some but not all bits wrong
+
+    # sim_ber sweep: both processes took identical early-stop/target
+    # branches (same statuses, same batch counts) and produced the exact
+    # single-process results (VERDICT r2 task 6 / SURVEY section 7)
+    for field in ("sweep_ber", "sweep_bler", "sweep_status",
+                  "sweep_nb_blocks"):
+        assert by_pid[0][field] == by_pid[1][field], field
+        assert by_pid[0][field] == sweep[field], field
+    # the points must exercise real decisions: target stops (status 4 at
+    # 0/2 dB) and the error-free early stop at 6 dB, which SKIPS the 8 dB
+    # point entirely — only 3 of the 4 points have JSONL records. (The
+    # early-stopped point itself records status 1: like the reference, the
+    # table/metrics row is emitted before status flips to 2.)
+    assert sweep["sweep_status"] == [4, 4, 1], sweep
+    assert len(sweep["sweep_nb_blocks"]) == 3, sweep
+    assert sweep["sweep_ber"][-1] == 0.0  # 8 dB never simulated
