@@ -150,9 +150,14 @@ class PolarBPDecoder:
             return jnp.all(encode_hard(u_hat) == x_hat, axis=0)  # [bs]
 
         if self.early_stop:
+            # full check_every-sized chunks only; a static remainder chunk
+            # below keeps the total at EXACTLY num_iter sweeps (matching
+            # early_stop=False when num_iter % check_every != 0)
+            full = (self.num_iter // self.check_every) * self.check_every
+
             def cond(carry):
                 i, _, _, done = carry
-                return jnp.logical_and(i < self.num_iter,
+                return jnp.logical_and(i < full,
                                        jnp.logical_not(jnp.all(done)))
 
             def body(carry):
@@ -168,7 +173,12 @@ class PolarBPDecoder:
                         jnp.logical_or(done, converged(lmsg, rmsg)))
 
             carry = (jnp.int32(0), lmsg, rmsg, jnp.zeros(bs, bool))
-            _, lmsg, rmsg, _ = lax.while_loop(cond, body, carry)
+            _, lmsg, rmsg, done = lax.while_loop(cond, body, carry)
+            for _ in range(self.num_iter - full):
+                l_new, r_new = sweep(lmsg, rmsg)
+                keep = done[None, None, :]
+                lmsg = jnp.where(keep, lmsg, l_new)
+                rmsg = jnp.where(keep, rmsg, r_new)
         else:
             def one_iter(_, msgs):
                 return sweep(*msgs)

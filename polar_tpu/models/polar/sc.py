@@ -75,6 +75,9 @@ class PolarSCDecoder:
             self.k = len(self._info_idx)
             schedule = "unrolled"
         assert schedule in ("auto", "unrolled", "scan")
+        # an explicitly pinned schedule stays authoritative: the fused
+        # whole-tree Pallas path only engages under "auto" (ADVICE r2)
+        self._schedule_requested = schedule
         if schedule == "auto":
             schedule = "scan" if n >= SCAN_THRESHOLD_N else "unrolled"
         self.schedule = schedule
@@ -126,7 +129,9 @@ class PolarSCDecoder:
         """[bs, n] logits -> [bs, k] hard decisions (output dtype)."""
         llr = -llr_logits.astype(jnp.float32).T  # [n, bs], true LLRs
         bs = llr.shape[1]
-        if (jax.default_backend() not in ("cpu",) and self.pc_pos is None
+        if (self._schedule_requested == "auto"
+                and jax.default_backend() not in ("cpu",)
+                and self.pc_pos is None
                 and self.n <= self.FULL_FUSE_MAX_N and bs % 128 == 0):
             from polar_tpu.models.polar.pallas_scl import sc_subtree_pallas
             S = int(np.log2(self.n))
