@@ -4,6 +4,12 @@ k=512, n=1024 — the north-star config of BASELINE.md (reference: 2,690
 info bits/s on CPU along its own main.py path).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Resilience contract (VERDICT r2 task 1): this script must NEVER exit
+non-zero. The decode-engine config ladder starts from the VMEM-model auto
+choice (scan_core.resolve_lower_stages — the exact scoped-VMEM accounting
+in pallas_scl guarantees a cold compile fits) and steps down through
+smaller fused subtrees on ANY compile/runtime failure.
 """
 
 import json
@@ -11,15 +17,10 @@ import os
 import sys
 import time
 
-# amortize XLA compile across runs
+# amortize XLA compile across runs (the VMEM model guarantees every config
+# below also compiles cold — gated in tests/test_tpu_compiled.py)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.cache/polar_tpu_xla"))
-# 512-leaf fused subtrees: with the unrolled outer sweep (scan_core
-# UNROLL_OUTER_MAX_M) the decode is two Pallas kernel calls + two unrolled
-# combine stages. Measured full-chain bit/s at bs=8192: b=8 142.8M,
-# b=9 159.9M (b=9 used to regress under the lax.scan outer — the unroll
-# removed that); bs=16384 is worse at both. Outputs identical across b.
-os.environ.setdefault("POLAR_TPU_LOWER_STAGES", "9")
 
 import jax
 import jax.numpy as jnp
@@ -29,18 +30,17 @@ import polar_tpu as pt
 BASELINE_INFO_BPS = 2690.0  # BASELINE.md: SCL-8 decode+chain, k=512 n=1024
 
 
-def main():
-    k, n, L = 512, 1024, 8
-    # throughput saturates around bs 4096-8192 on one v5e chip (measured:
-    # 10.3M bit/s @1024, 16.6M @4096, 17.0M @8192)
-    bs = int(os.environ.get("BENCH_BS", "8192"))
-    iters = int(os.environ.get("BENCH_ITERS", "24"))
-
+def build_step(k, n, L, bs, lower_stages):
+    """Fresh model + fused jitted chain step at the given subtree depth.
+    ``lower_stages=None`` -> the VMEM-model auto choice."""
+    if lower_stages is None:
+        os.environ.pop("POLAR_TPU_LOWER_STAGES", None)
+    else:
+        os.environ["POLAR_TPU_LOWER_STAGES"] = str(lower_stages)
     frozen, _ = pt.generate_5g_ranking(k, n)
     enc = pt.PolarEncoder(frozen, n)
     dec = pt.PolarSCLDecoder(frozen, n, list_size=L)
     model = pt.SystemAWGNModel(n, k, enc, dec)
-
     from polar_tpu.sim import count_errors
 
     # error counting fused into the jitted chain (same contract as
@@ -50,8 +50,39 @@ def main():
         b, b_hat = model.step(key, bs, ebno_db)
         return count_errors(b, b_hat)
 
-    # compile + warmup (excluded from timing)
-    float(step(jax.random.PRNGKey(0), jnp.float32(2.0)))
+    return step, dec
+
+
+def main():
+    k, n, L = 512, 1024, 8
+    # throughput saturates around bs 4096-8192 on one v5e chip (measured:
+    # 10.3M bit/s @1024, 16.6M @4096, 17.0M @8192; 16384+ regress)
+    bs = int(os.environ.get("BENCH_BS", "8192"))
+    iters = int(os.environ.get("BENCH_ITERS", "24"))
+
+    # config ladder: auto (VMEM model) first, then smaller fused subtrees,
+    # finally the scan engine's XLA default — never die on one bad config
+    env_b = os.environ.get("POLAR_TPU_LOWER_STAGES")
+    ladder = ([int(env_b)] if env_b is not None else [None]) + [8, 7, 5]
+    step = dec = None
+    for b_cfg in ladder:
+        try:
+            step, dec = build_step(k, n, L, bs, b_cfg)
+            # compile + warmup (excluded from timing)
+            float(step(jax.random.PRNGKey(0), jnp.float32(2.0)))
+            break
+        except Exception as e:  # compile OOM / Mosaic error: step down
+            print(f"# bench config lower_stages={b_cfg} failed: "
+                  f"{type(e).__name__}: {str(e)[:300]}", file=sys.stderr)
+            step = dec = None
+    if step is None:
+        print(json.dumps({
+            "metric": "scl8_n1024_chain_info_bits_per_s",
+            "value": 0.0, "unit": "info bit/s", "vs_baseline": 0.0,
+        }))
+        print("# every bench config failed to compile", file=sys.stderr)
+        return
+
     # burn the relay ramp: the first dispatch loop in a process runs
     # ~50 ms/batch regardless of content (~850 ms total); without this the
     # measured window absorbs it and underreports steady-state throughput
@@ -74,6 +105,12 @@ def main():
         "unit": "info bit/s",
         "vs_baseline": round(bps / BASELINE_INFO_BPS, 2),
     }))
+    global _emitted
+    _emitted = True
+    _diagnostics(step, dec, n, k, L, bs, iters, dt, errs, bits)
+
+
+def _diagnostics(step, dec, n, k, L, bs, iters, dt, errs, bits):
     # diagnostics to stderr only (keep stdout one-line)
     print(f"# device={jax.devices()[0]} bs={bs} iters={iters} "
           f"time={dt:.3f}s ber@2dB={errs / bits:.4f} "
@@ -102,5 +139,15 @@ def main():
           file=sys.stderr)
 
 
+_emitted = False  # set once the one-line JSON has gone out
+
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # absolute backstop: report, exit 0
+        print(f"# bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+        if not _emitted:
+            print(json.dumps({
+                "metric": "scl8_n1024_chain_info_bits_per_s",
+                "value": 0.0, "unit": "info bit/s", "vs_baseline": 0.0,
+            }))

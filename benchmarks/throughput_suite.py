@@ -16,7 +16,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.cache/polar_tpu_xla"))
-os.environ.setdefault("POLAR_TPU_LOWER_STAGES", "9")
+# subtree depth comes from the VMEM-model auto choice (scan_core.
+# resolve_lower_stages); POLAR_TPU_LOWER_STAGES overrides for experiments
 
 import jax
 import jax.numpy as jnp
@@ -99,14 +100,23 @@ def main():
     configs.append(("sc_n64", 32, 64, pt.PolarEncoder(frozen64, 64),
                     pt.PolarSCDecoder(frozen64, 64), 2.0, 65536))
 
-    # larger list sizes at the north-star blocklength (XLA scan engine;
-    # see scan_core.scl_sweep_hybrid for why L != 8 avoids the Pallas path)
+    # larger list sizes at the north-star blocklength (blocked Pallas
+    # kernel — lists of (8, TB) blocks, see pallas_scl)
     frozen1k, _ = pt.generate_5g_ranking(512, 1024)
     enc1k = pt.PolarEncoder(frozen1k, 1024)
     for Lbig in (16, 32):
         configs.append((f"scl{Lbig}_n1024", 512, 1024, enc1k,
                         pt.PolarSCLDecoder(frozen1k, 1024, list_size=Lbig),
                         2.0, 2048))
+
+    # OSD-2 on a (64, 128) code (VERDICT r2 task 4): codeword-estimate
+    # chain (cw_estimates=True); 2144 patterns swept by the padded scan
+    from polar_tpu.models.osd import OSDecoder
+    frozen_o, _ = pt.generate_5g_ranking(64, 128)
+    enc_o = pt.PolarEncoder(frozen_o, 128)
+    configs.append(("osd2_k64_n128", 64, 128, enc_o,
+                    OSDecoder(t=2, encoder=enc_o, pattern_chunk=1024),
+                    2.0, 1024, True))
 
     # 5G CA-SCL rate-matched chain
     enc5 = pt.Polar5GEncoder(k=400, n=1000)
@@ -171,7 +181,8 @@ def main():
             continue
         ebno = cfg[5] if len(cfg) > 5 else 2.0
         row_bs = cfg[6] if len(cfg) > 6 else bs
-        model = pt.SystemAWGNModel(n, k, enc, dec)
+        cw_est = cfg[7] if len(cfg) > 7 else False
+        model = pt.SystemAWGNModel(n, k, enc, dec, cw_estimates=cw_est)
         try:
             bps, ber = chain_bps(model, k, row_bs, ebno_db=ebno)
             results[name] = {"info_bits_per_s": round(bps, 1),

@@ -285,11 +285,47 @@ def scl_sweep(llr_ch, frozen_mask, list_size: int, mode: str = "minsum",
 # the big upper-stage carry traffic at n/2^b iterations while the subtree
 # itself is straight-line code on small local values.
 
-# 32-leaf subtrees by default; the env knob exists because program size
-# (and hence XLA compile time) scales with 2^lower_stages — the test suite
-# sets 3 to compile ~3x faster with identical outputs (engine-equivalence
-# is asserted across lower_stages values in tests/test_scan.py)
-DEFAULT_LOWER_STAGES = int(os.environ.get("POLAR_TPU_LOWER_STAGES", "5"))
+# Subtree depth (lower_stages) policy. ``None`` = auto: on TPU, pick the
+# largest depth whose fused Pallas kernel fits scoped VMEM (exact model in
+# pallas_scl), capped at the measured perf sweet spot; on CPU/XLA, use a
+# compile-time-friendly 5. ``POLAR_TPU_LOWER_STAGES`` overrides everything
+# (read at call time — the test suite sets 3 to compile ~3x faster with
+# identical outputs; engine-equivalence across lower_stages is asserted in
+# tests/test_scan.py).
+DEFAULT_LOWER_STAGES = None
+
+# measured full-chain sweet spots on TPU v5e at bs=8192 (see
+# polar-tpu-perf-history): SCL-8 peaks at b=9; SC's whole-tree kernel
+# handles n<=512 separately so the hybrid SC cap matters only for n>=1024
+SCL_PALLAS_B_CAP = 9
+SC_PALLAS_B_CAP = 9
+XLA_DEFAULT_B = 5
+
+
+def resolve_lower_stages(S: int, bs: int, use_pallas: bool,
+                         L: int | None = None) -> int:
+    """Auto subtree depth for the hybrid sweeps (VERDICT r2 task 7).
+
+    Env override first; otherwise on the Pallas path the largest depth b
+    whose fused kernel fits the scoped-VMEM budget at some legal batch
+    tile (exact accounting, pallas_scl.scl_vmem_bytes), capped at the
+    measured throughput sweet spot; plain-XLA engines default to 5."""
+    env = os.environ.get("POLAR_TPU_LOWER_STAGES")
+    if env is not None:
+        return min(int(env), S - 1)
+    if not use_pallas:
+        return min(XLA_DEFAULT_B, S - 1)
+    from polar_tpu.models.polar import pallas_scl as pk
+    cap = SC_PALLAS_B_CAP if L is None else SCL_PALLAS_B_CAP
+    for b in range(min(cap, S - 1), 0, -1):
+        bytes_fn = ((lambda t: pk.sc_vmem_bytes(b, t)) if L is None
+                    else (lambda t: pk.scl_vmem_bytes(b, L, t)))
+        try:
+            pk.fit_tile(bs, bytes_fn)
+            return b
+        except ValueError:
+            continue
+    return 1
 
 # with at most this many super-leaves the outer sweep unrolls fully
 # (no lax.scan/lax.switch) — bigger m keeps the O(log^2 n) scan program
@@ -317,12 +353,13 @@ def sc_sweep_hybrid(llr_ch, frozen_mask, mode: str = "minsum",
     block — the full-width codeword is never materialized."""
     n, bs = llr_ch.shape
     S = int(np.log2(n))
-    b = min(int(lower_stages), S - 1)
-    if b < 1:
-        return sc_sweep(llr_ch, frozen_mask, mode, llr_max)
     if use_pallas is None:
         use_pallas = (jax.default_backend() not in ("cpu",)
                       and bs % 128 == 0)
+    b = (resolve_lower_stages(S, bs, use_pallas)
+         if lower_stages is None else min(int(lower_stages), S - 1))
+    if b < 1:
+        return sc_sweep(llr_ch, frozen_mask, mode, llr_max)
     f = F_FUNCTIONS[mode]
     w_sub = 1 << b
     m = n >> b
@@ -453,22 +490,22 @@ def scl_sweep_hybrid(llr_ch, frozen_mask, list_size: int,
     n, bs = llr_ch.shape
     S = int(np.log2(n))
     L = int(list_size)
-    b = min(int(lower_stages), S - 1)
-    if b < 1:
-        return scl_sweep(llr_ch, frozen_mask, L, mode, llr_max)
     if use_pallas is None:
         # the fused kernel pays off on real TPUs; CPU tests exercise it
         # explicitly via interpret mode. Lane-align the batch tile; L=8
-        # rides one 8-sublane f32 tile; L=16 uses the two-tile select
-        # gather (128-lane batch tile, pallas_scl.subtree_pallas) and is
-        # equality-tested in the TPU lane. L >= 32 stays on XLA.
+        # rides one 8-sublane f32 tile; L=16/32 use the blocked kernel
+        # (pallas_scl._subtree_kernel_blocked, lists of (8, TB) blocks, no
+        # lane-width cap), equality-tested in the TPU lane.
         use_pallas = (jax.default_backend() not in ("cpu",)
-                      and bs % 128 == 0 and L in (8, 16))
-    if use_pallas and L == 16:
-        # measured at n=1024 bs=2048 (decode-only, Mosaic compile time):
-        # b=5 8.6M/19s, b=6 24.7M/25s, b=7 10.5M/450s, b=8 2.7M/875s —
-        # the 128-lane tile makes big subtrees VMEM-thrash, so cap at the
-        # sweet spot (the XLA L=16 chain manages only 0.65M for scale)
+                      and bs % 128 == 0 and L in (8, 16, 32))
+    b = (resolve_lower_stages(S, bs, use_pallas, L=L)
+         if lower_stages is None else min(int(lower_stages), S - 1))
+    if b < 1:
+        return scl_sweep(llr_ch, frozen_mask, L, mode, llr_max)
+    if use_pallas and L > 8:
+        # blocked-kernel subtree sweet spot (gather cost scales with
+        # (L/8)^2 and Mosaic compile time with 2^b): measured on v5e at
+        # n=1024 — see benchmarks/throughput.json for the current survey
         b = min(b, 6)
     f = F_FUNCTIONS[mode]
     w_sub = 1 << b
