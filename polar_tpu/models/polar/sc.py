@@ -119,11 +119,12 @@ class PolarSCDecoder:
         rec(llr, 0)
         return jnp.concatenate(decisions, axis=0)
 
-    # whole decode in ONE fused Pallas kernel: n <= 512 keeps the full
-    # (2n-1)-row workspace in VMEM (~6.3 MB at n=512), so there is no
-    # outer scan/dispatch at all — this closes the round-1 mid-blocklength
-    # hole where SC n=256 ran 5x slower than SCL-8 (dispatch-bound)
-    FULL_FUSE_MAX_N = 512
+    # whole decode in ONE fused Pallas kernel: no outer scan/dispatch at
+    # all — this closed the round-1 mid-blocklength hole where SC n=256 ran
+    # 5x slower than SCL-8 (dispatch-bound). n=1024 fits comfortably
+    # (sc_vmem_bytes(10, 512) ~ 8 MiB; fit_tile sizes the batch tile from
+    # the exact scoped-VMEM model)
+    FULL_FUSE_MAX_N = 1024
 
     def _decode_2d(self, llr_logits):
         """[bs, n] logits -> [bs, k] hard decisions (output dtype)."""

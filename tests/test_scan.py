@@ -108,6 +108,24 @@ def test_pallas_subtree_equals_xla(list_size):
     np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), rtol=1e-5)
 
 
+def test_pallas_blocked_subtree_equals_xla():
+    """L=16 routes to the blocked kernel (lists of (8, TB) blocks); one
+    tiny config keeps XLA-CPU's interpret-mode compile tolerable — the
+    compiled kernel at L in {16, 32} is covered by the TPU lane."""
+    from polar_tpu.models.polar.scan_core import scl_sweep, scl_sweep_hybrid
+    n = 32
+    frozen, _ = generate_5g_ranking(n // 2, n)
+    mask = np.zeros(n, bool)
+    mask[frozen] = True
+    rng = np.random.default_rng(23)
+    llr = jnp.asarray(rng.normal(0, 3, (n, 128)), jnp.float32)
+    ua, pa = scl_sweep(llr, mask, 16)
+    ub, pb = scl_sweep_hybrid(llr, mask, 16, lower_stages=2,
+                              use_pallas=True)
+    np.testing.assert_array_equal(np.asarray(ua), np.asarray(ub))
+    np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), rtol=1e-5)
+
+
 def test_leaf_schedule():
     from polar_tpu.models.polar.scan_core import leaf_schedule
     S, desc, rise = leaf_schedule(8)
