@@ -61,8 +61,17 @@ def _gather_rows(x2d, ptr):
     return _g8(x2d, ptr)
 
 
-def _subtree_kernel(frz_ref, a_ref, pm_ref, cw_ref, p_ref, pmo_ref,
-                    lloc, uloc, *, b, L, llr_max, mode):
+def _subtree_kernel(*refs, b, L, llr_max, mode, frz_static=None):
+    # frz_static (tuple of 0/1, compile-time) specializes the kernel to
+    # one frozen set: frozen leaves keep only the pm update — the top-L
+    # selection AND every pointer gather vanish (parent == identity), which
+    # is bit-identical to the branchless traced form and roughly halves
+    # the fork work on rate-1/2 codes. The traced form (frz in SMEM)
+    # remains for the lax.scan outer, where frz is carried data.
+    if frz_static is None:
+        frz_ref, a_ref, pm_ref, cw_ref, p_ref, pmo_ref, lloc, uloc = refs
+    else:
+        a_ref, pm_ref, cw_ref, p_ref, pmo_ref, lloc, uloc = refs
     f = F_FUNCTIONS[mode]
     w_sub = 1 << b
     TB = a_ref.shape[-1]
@@ -113,29 +122,40 @@ def _subtree_kernel(frz_ref, a_ref, pm_ref, cw_ref, p_ref, pmo_ref,
                 cur = f(cur[:h], cur[h:], llr_max)
                 lloc[off(s - 1):off(s)] = cur
                 lptr[s - 1] = ident
-        # ---- branchless leaf fork ----
+        # ---- leaf fork ----
         v = clip(cur[0])                       # [L, TB]
         sp_n = softplus(-v)
-        pmc = jnp.concatenate([pm + sp_n, pm + softplus(v)], axis=0)
-        tmp = pmc
-        vals, idxs = [], []
-        for _j in range(L):  # iterative min extraction == top_k ties
-            val = jnp.min(tmp, axis=0, keepdims=True)   # [1, TB]
-            idx = jnp.min(jnp.where(tmp == val, iota2l, 2 * L),
-                          axis=0, keepdims=True)
-            vals.append(val)
-            idxs.append(idx)
-            tmp = jnp.where(iota2l == idx, _BIG, tmp)
-        pm_fork = jnp.concatenate(vals, axis=0)         # [L, TB] ascending
-        sel = jnp.concatenate(idxs, axis=0).astype(jnp.int32)
-        frz_i = frz_ref[i] != 0
-        pm = jnp.where(frz_i, pm + sp_n, pm_fork)
-        parent = jnp.where(frz_i, ident, sel % L)
-        ubit = jnp.where(frz_i, jnp.zeros((L, TB), jnp.int32),
-                         sel // L)[None]       # [1, L, TB]
-        lptr = [_gather_rows(p, parent) for p in lptr]
-        uptr = [_gather_rows(p, parent) for p in uptr]
-        P = _gather_rows(P, parent)
+        if frz_static is not None and frz_static[i]:
+            # statically frozen: pm update only; parents are the identity,
+            # so every pointer gather is a no-op and is skipped outright
+            pm = pm + sp_n
+            ubit = jnp.zeros((1, L, TB), jnp.int32)
+        else:
+            pmc = jnp.concatenate([pm + sp_n, pm + softplus(v)], axis=0)
+            tmp = pmc
+            vals, idxs = [], []
+            for _j in range(L):  # iterative min extraction == top_k ties
+                val = jnp.min(tmp, axis=0, keepdims=True)   # [1, TB]
+                idx = jnp.min(jnp.where(tmp == val, iota2l, 2 * L),
+                              axis=0, keepdims=True)
+                vals.append(val)
+                idxs.append(idx)
+                tmp = jnp.where(iota2l == idx, _BIG, tmp)
+            pm_fork = jnp.concatenate(vals, axis=0)     # [L, TB] ascending
+            sel = jnp.concatenate(idxs, axis=0).astype(jnp.int32)
+            if frz_static is not None:  # statically an info leaf
+                pm = pm_fork
+                parent = sel % L
+                ubit = (sel // L)[None]
+            else:  # traced frozen-ness: branchless select
+                frz_i = frz_ref[i] != 0
+                pm = jnp.where(frz_i, pm + sp_n, pm_fork)
+                parent = jnp.where(frz_i, ident, sel % L)
+                ubit = jnp.where(frz_i, jnp.zeros((L, TB), jnp.int32),
+                                 sel // L)[None]       # [1, L, TB]
+            lptr = [_gather_rows(p, parent) for p in lptr]
+            uptr = [_gather_rows(p, parent) for p in uptr]
+            P = _gather_rows(P, parent)
         # ---- rise: combine partial sums upward ----
         cur_u = ubit
         for s in range(min(r, b)):
@@ -180,8 +200,11 @@ def _bgather(blocks, ptr_blocks):
     return out
 
 
-def _subtree_kernel_blocked(frz_ref, a_ref, pm_ref, cw_ref, p_ref, pmo_ref,
-                            lloc, uloc, *, b, L, llr_max, mode):
+def _subtree_kernel_blocked(*refs, b, L, llr_max, mode, frz_static=None):
+    if frz_static is None:
+        frz_ref, a_ref, pm_ref, cw_ref, p_ref, pmo_ref, lloc, uloc = refs
+    else:  # static frozen set: see _subtree_kernel
+        a_ref, pm_ref, cw_ref, p_ref, pmo_ref, lloc, uloc = refs
     f = F_FUNCTIONS[mode]
     nb = L // 8
     w_sub = 1 << b
@@ -256,42 +279,54 @@ def _subtree_kernel_blocked(frz_ref, a_ref, pm_ref, cw_ref, p_ref, pmo_ref,
                 cur = [f(lo[h], hi[h], llr_max) for h in range(nb)]
                 store_slab(lloc, off(s - 1), cur)
                 lptr[s - 1] = list(ident)
-        # ---- branchless leaf fork (blocked top-L of 2L) ----
+        # ---- leaf fork (blocked top-L of 2L) ----
         v = [clip(cur[h][0]) for h in range(nb)]          # [8, TB] x nb
         sp_n = [softplus(-x) for x in v]
-        # candidate block j (j < nb: bit 0, j >= nb: bit 1), global
-        # candidate index of block j = 8*j .. 8*j+7
-        cand = ([pm[h] + sp_n[h] for h in range(nb)]
-                + [pm[h] + softplus(v[h]) for h in range(nb)])
-        tmp = list(cand)
-        vals, idxs = [], []
-        for _j in range(L):  # iterative min extraction == top_k ties
-            val = jnp.min(tmp[0], axis=0, keepdims=True)
-            for blk in tmp[1:]:
-                val = jnp.minimum(val, jnp.min(blk, axis=0, keepdims=True))
-            idx = None
-            for jb, blk in enumerate(tmp):
-                cand_idx = jnp.where(blk == val, iota8 + 8 * jb, 2 * L)
-                m = jnp.min(cand_idx, axis=0, keepdims=True)
-                idx = m if idx is None else jnp.minimum(idx, m)
-            vals.append(val)
-            idxs.append(idx)
-            tmp = [jnp.where(iota8 + 8 * jb == idx, _BIG, blk)
-                   for jb, blk in enumerate(tmp)]
-        # regroup the L extracted rows into nb (8, TB) blocks
-        pm_fork = [jnp.concatenate(vals[8 * h:8 * h + 8], axis=0)
-                   for h in range(nb)]
-        sel = [jnp.concatenate(idxs[8 * h:8 * h + 8], axis=0)
-               .astype(jnp.int32) for h in range(nb)]
-        frz_i = frz_ref[i] != 0
-        pm = [jnp.where(frz_i, pm[h] + sp_n[h], pm_fork[h])
-              for h in range(nb)]
-        parent = [jnp.where(frz_i, ident[h], sel[h] % L) for h in range(nb)]
-        ubit = [jnp.where(frz_i, jnp.zeros((8, TB), jnp.int32),
-                          sel[h] // L) for h in range(nb)]
-        lptr = [_bgather(p, parent) for p in lptr]
-        uptr = [_bgather(p, parent) for p in uptr]
-        P = _bgather(P, parent)
+        if frz_static is not None and frz_static[i]:
+            # statically frozen: pm update only, no selection, no gathers
+            pm = [pm[h] + sp_n[h] for h in range(nb)]
+            ubit = [jnp.zeros((8, TB), jnp.int32) for _ in range(nb)]
+        else:
+            # candidate block j (j < nb: bit 0, j >= nb: bit 1), global
+            # candidate index of block j = 8*j .. 8*j+7
+            cand = ([pm[h] + sp_n[h] for h in range(nb)]
+                    + [pm[h] + softplus(v[h]) for h in range(nb)])
+            tmp = list(cand)
+            vals, idxs = [], []
+            for _j in range(L):  # iterative min extraction == top_k ties
+                val = jnp.min(tmp[0], axis=0, keepdims=True)
+                for blk in tmp[1:]:
+                    val = jnp.minimum(val,
+                                      jnp.min(blk, axis=0, keepdims=True))
+                idx = None
+                for jb, blk in enumerate(tmp):
+                    cand_idx = jnp.where(blk == val, iota8 + 8 * jb, 2 * L)
+                    m = jnp.min(cand_idx, axis=0, keepdims=True)
+                    idx = m if idx is None else jnp.minimum(idx, m)
+                vals.append(val)
+                idxs.append(idx)
+                tmp = [jnp.where(iota8 + 8 * jb == idx, _BIG, blk)
+                       for jb, blk in enumerate(tmp)]
+            # regroup the L extracted rows into nb (8, TB) blocks
+            pm_fork = [jnp.concatenate(vals[8 * h:8 * h + 8], axis=0)
+                       for h in range(nb)]
+            sel = [jnp.concatenate(idxs[8 * h:8 * h + 8], axis=0)
+                   .astype(jnp.int32) for h in range(nb)]
+            if frz_static is not None:  # statically an info leaf
+                pm = pm_fork
+                parent = [sel[h] % L for h in range(nb)]
+                ubit = [sel[h] // L for h in range(nb)]
+            else:
+                frz_i = frz_ref[i] != 0
+                pm = [jnp.where(frz_i, pm[h] + sp_n[h], pm_fork[h])
+                      for h in range(nb)]
+                parent = [jnp.where(frz_i, ident[h], sel[h] % L)
+                          for h in range(nb)]
+                ubit = [jnp.where(frz_i, jnp.zeros((8, TB), jnp.int32),
+                                  sel[h] // L) for h in range(nb)]
+            lptr = [_bgather(p, parent) for p in lptr]
+            uptr = [_bgather(p, parent) for p in uptr]
+            P = _bgather(P, parent)
         # ---- rise: combine partial sums upward ----
         cur_u = [u[None] for u in ubit]                  # [1, 8, TB] x nb
         for s in range(min(r, b)):
@@ -455,12 +490,19 @@ def fit_tile(bs: int, bytes_fn, vmem_limit: int | None = None) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("b", "L", "llr_max", "mode",
-                                             "interpret", "tile"))
+                                             "interpret", "tile",
+                                             "frz_static"))
 def subtree_pallas(a, frz, pm, *, b, L, llr_max, mode, interpret=False,
-                   tile=None):
+                   tile=None, frz_static=None):
     """Run the fused subtree kernel. ``a``: [2^b, L, bs] f32 stage-b LLRs,
-    ``frz``: [2^b] int32, ``pm``: [L, bs] f32. Returns
-    (cw [2^b, L, bs] int32, P [L, bs] int32, pm [L, bs] f32)."""
+    ``frz``: [2^b] int32 (pass None with ``frz_static``), ``pm``:
+    [L, bs] f32. Returns (cw [2^b, L, bs] int32, P [L, bs] int32,
+    pm [L, bs] f32).
+
+    ``frz_static`` (tuple of 0/1, hashable) compiles a code-specialized
+    kernel: statically frozen leaves skip the top-L selection and all
+    pointer gathers — bit-identical to the traced form, ~half the fork
+    work on rate-1/2 codes (one executable per frozen set)."""
     w_sub, L_, bs = a.shape
     assert w_sub == (1 << b) and L_ == L
     W = (1 << b) - 1  # stages 0..b-1 only; stage b reads the input block
@@ -474,22 +516,26 @@ def subtree_pallas(a, frz, pm, *, b, L, llr_max, mode, interpret=False,
     # blocked kernel (lists of (8, TB) blocks, no >8-sublane values), which
     # has no lane-width cap
     assert L <= 8 or L % 8 == 0, "list sizes above 8 must be multiples of 8"
+    if frz_static is not None:
+        assert len(frz_static) == w_sub
+        frz_static = tuple(int(x) for x in frz_static)
     kern = functools.partial(
         _subtree_kernel if L <= 8 else _subtree_kernel_blocked,
-        b=b, L=L, llr_max=float(llr_max), mode=mode)
+        b=b, L=L, llr_max=float(llr_max), mode=mode, frz_static=frz_static)
     bspec = lambda rows: pl.BlockSpec((rows, L, TB),
                                       lambda i: (0, 0, i),
                                       memory_space=pltpu.VMEM)
     bspec2 = pl.BlockSpec((L, TB), lambda i: (0, i),
                           memory_space=pltpu.VMEM)
+    in_specs = [bspec(w_sub), bspec2]               # a, pm
+    inputs = (a, pm)
+    if frz_static is None:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+        inputs = (frz,) + inputs
     return pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # frz (whole array)
-            bspec(w_sub),                           # a
-            bspec2,                                 # pm
-        ],
+        in_specs=in_specs,
         out_specs=[bspec(w_sub), bspec2, bspec2],
         out_shape=[
             jax.ShapeDtypeStruct((w_sub, L, bs), jnp.int32),
@@ -503,4 +549,4 @@ def subtree_pallas(a, frz, pm, *, b, L, llr_max, mode, interpret=False,
         compiler_params=(None if vlim is None
                          else pltpu.CompilerParams(vmem_limit_bytes=vlim)),
         interpret=interpret,
-    )(frz, a, pm)
+    )(*inputs)

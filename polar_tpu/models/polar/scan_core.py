@@ -662,13 +662,22 @@ def scl_sweep_hybrid(llr_ch, frozen_mask, list_size: int,
         return (cwj, P, lperm, uperm, pm)
 
     def run_subtree(carry, a, frz):
-        """frz may be a traced array (scan path) or static numpy."""
+        """frz may be a traced array (scan path) or static numpy (unrolled
+        outer) — static frozen sets compile a code-specialized kernel
+        where frozen leaves cost only a pm update (pallas_scl)."""
         if use_pallas:
             from polar_tpu.models.polar.pallas_scl import subtree_pallas
             interp = jax.default_backend() == "cpu"
-            cw32, Pj, pm = subtree_pallas(
-                a, jnp.asarray(frz).astype(jnp.int32), carry[I_PM], b=b,
-                L=L, llr_max=float(llr_max), mode=mode, interpret=interp)
+            if isinstance(frz, np.ndarray):
+                cw32, Pj, pm = subtree_pallas(
+                    a, None, carry[I_PM], b=b, L=L, llr_max=float(llr_max),
+                    mode=mode, interpret=interp,
+                    frz_static=tuple(int(x) for x in frz))
+            else:
+                cw32, Pj, pm = subtree_pallas(
+                    a, jnp.asarray(frz).astype(jnp.int32), carry[I_PM],
+                    b=b, L=L, llr_max=float(llr_max), mode=mode,
+                    interpret=interp)
             cwj = cw32.astype(jnp.int8)
             P3 = Pj[None]
             lperm = (jnp.take_along_axis(carry[I_LP], P3, axis=1)
