@@ -26,7 +26,9 @@ class PolarConfig:
     spec: bool = False     # apply special cases (test-only in the reference)
     # --- TPU-native extensions ---
     seed: int = 42
-    construction: str = "rm"   # "rm" (reference CLI), "5g" table, or "ga" (DE/GA)
+    construction: str = "rm"   # "rm" (reference CLI, stable ties),
+    # "rm-ref" (reference's EXACT unstable-argsort sets), "5g" table,
+    # or "ga" (DE/GA)
     num_devices: int = 0       # 0 = all local devices (data-parallel MC)
     target_block_errs: int = 1000
     bp_iter: int = 20          # BP decoder iterations (algos=[...,bp])

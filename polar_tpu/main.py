@@ -32,6 +32,11 @@ def gen_code(c: PolarConfig, name: str, mode: str = "sc"):
     assert a.is_integer(), "n must be a power of 2"
     if c.construction == "rm":
         _, _, frozen_pos = get_kern_frozen_bits(c.n, c.n - c.k, ARIKAN_F2)
+    elif c.construction == "rm-ref":
+        # the reference CLI's EXACT frozen sets (its unstable-argsort tie
+        # order, captured by running it; construction.py)
+        from polar_tpu.models.polar.construction import get_ref_rm_frozen_bits
+        frozen_pos = get_ref_rm_frozen_bits(c.n, c.n - c.k)
     elif c.construction == "5g":
         frozen_pos, _ = generate_5g_ranking(c.k, c.n)
     elif c.construction == "ga":

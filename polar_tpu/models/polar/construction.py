@@ -49,6 +49,33 @@ def get_kern_frozen_bits(n: int, f_num: int, kern: np.ndarray = ARIKAN_F2):
     return g, weights, frozen_pos
 
 
+def get_ref_rm_frozen_bits(n: int, f_num: int, kern_name: str = "F2"):
+    """Reference-EXACT RM frozen set (PARITY.md quirk 3 closure).
+
+    The reference CLI tie-breaks equal row weights with ``torch.argsort``'s
+    *unstable* introsort order (``x_run_sn_polar/polar/froze.py:14``), which
+    no stable re-implementation can reproduce. The full reliability orders
+    were captured by RUNNING the reference (one ``torch.argsort`` of the
+    row weights per (kernel, n), all 19 named kernels up to n=1024) and
+    shipped as package data ``ref_rm_orders.npz``; the frozen set for any
+    rate is the sorted first ``f_num`` entries. Use ``--construction
+    rm-ref`` for bit-for-bit CLI-chain replication of the reference;
+    ``rm`` (stable ties) is quality-neutral-or-better
+    (benchmarks/bler_validation.json)."""
+    import os
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "ref_rm_orders.npz")
+    key = f"{kern_name}_n{n}"
+    with np.load(path) as z:
+        if key not in z:
+            raise ValueError(
+                f"no captured reference order for kernel={kern_name!r} "
+                f"n={n} (available: powers of the kernel base up to 1024)")
+        order = z[key]
+    assert 0 <= f_num <= n
+    return np.sort(order[:f_num]).astype(np.int64)
+
+
 def generate_5g_ranking(k: int, n: int, sort: bool = True, strict: bool = True):
     """Frozen/info positions from the 5G NR reliability table.
 

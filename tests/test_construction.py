@@ -163,3 +163,30 @@ def test_ga_code_decodes_at_design_snr():
         d = np.asarray(dec(jnp.asarray((2.0 / sigma**2) * noisy)))
         blers[name] = np.mean(np.any(d != u, axis=1))
     assert blers["ga"] <= blers["rm"], blers
+
+
+def test_ref_rm_frozen_bits_exact():
+    """rm-ref reproduces the reference CLI's EXACT frozen sets (captured
+    from torch.argsort's unstable tie order by running the reference —
+    construction.get_ref_rm_frozen_bits). The n=64 k=32 literal below was
+    read directly off get_Kern_frozen_bits(64, 32, F2) to pin the shipped
+    fixture against drift."""
+    from polar_tpu.models.polar.construction import get_ref_rm_frozen_bits
+    want64 = [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 16, 17, 18, 19,
+              20, 24, 32, 33, 34, 35, 36, 37, 38, 40, 41, 42, 44, 48, 52]
+    np.testing.assert_array_equal(get_ref_rm_frozen_bits(64, 32), want64)
+    # the unstable tie order first deviates from the stable one at n=64
+    _, _, stable = get_kern_frozen_bits(64, 32, ARIKAN_F2)
+    assert not np.array_equal(get_ref_rm_frozen_bits(64, 32), stable)
+    np.testing.assert_array_equal(
+        get_ref_rm_frozen_bits(32, 16),
+        get_kern_frozen_bits(32, 16, ARIKAN_F2)[2])
+    # same weight multiset either way (ties only reorder equal weights)
+    g, w, _ = get_kern_frozen_bits(64, 32, ARIKAN_F2)
+    ref = get_ref_rm_frozen_bits(64, 32)
+    assert sorted(w[ref]) == sorted(w[stable])
+    # every captured kernel/size loads and is a valid permutation prefix
+    for name, n in (("F2", 1024), ("R4", 256), ("G8", 512), ("K16", 256),
+                    ("G32", 1024)):
+        fp = get_ref_rm_frozen_bits(n, n // 2, name)
+        assert len(np.unique(fp)) == n // 2 and fp.max() < n
