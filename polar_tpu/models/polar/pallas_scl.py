@@ -82,22 +82,35 @@ def _subtree_kernel(*refs, b, L, llr_max, mode, frz_static=None):
     clip = lambda x: jnp.clip(x, -llr_max, llr_max)
     softplus = lambda x: jnp.logaddexp(0.0, x)
 
-    lptr = [ident] * (b + 1)   # stage-s pointer for lloc
-    uptr = [ident] * b         # stage-s pointer for uloc
-    P = ident                  # parent-map composition over the subtree
+    # Pointer representation: ``None`` means statically-identity (freshly
+    # reset by a descent/rise write, no fork since). Reads through an
+    # identity pointer skip ALL per-row gathers, and a fork composes an
+    # identity pointer for free (the composition IS ``parent``). This is
+    # trace-time bookkeeping — the emitted ops are bit-identical to always
+    # gathering, minus the provable no-ops.
+    lptr = [None] * (b + 1)    # stage-s pointer for lloc
+    uptr = [None] * b          # stage-s pointer for uloc
+    P = None                   # parent-map composition over the subtree
     pm = pm_ref[:]
     # stage-b LLRs are NOT copied into scratch: reads go straight to the
     # input block (a_ref). Halving the workspace doubles the VMEM-legal
     # batch tile, which halves the grid and with it the kernel's
     # issue-bound tiny-op count.
 
+    def pgather(p, parent):
+        return parent if p is None else _gather_rows(p, parent)
+
     def readl(s):
         seg = a_ref[:] if s == b else lloc[off(s):off(s + 1)]
+        if lptr[s] is None:
+            return seg
         return jnp.stack([_gather_rows(seg[j], lptr[s])
                           for j in range(1 << s)], axis=0)
 
     def readu(s):
         seg = uloc[off(s):off(s + 1)]
+        if uptr[s] is None:
+            return seg
         return jnp.stack([_gather_rows(seg[j], uptr[s])
                           for j in range(1 << s)], axis=0)
 
@@ -110,18 +123,18 @@ def _subtree_kernel(*refs, b, L, llr_max, mode, frz_static=None):
                 h = 1 << (s - 1)
                 cur = f(cur[:h], cur[h:], llr_max)
                 lloc[off(s - 1):off(s)] = cur
-                lptr[s - 1] = ident
+                lptr[s - 1] = None
         else:
             seg = readl(d + 1)
             h = 1 << d
             cur = g_op(seg[:h], seg[h:], readu(d))
             lloc[off(d):off(d + 1)] = cur
-            lptr[d] = ident
+            lptr[d] = None
             for s in range(d, 0, -1):
                 h = 1 << (s - 1)
                 cur = f(cur[:h], cur[h:], llr_max)
                 lloc[off(s - 1):off(s)] = cur
-                lptr[s - 1] = ident
+                lptr[s - 1] = None
         # ---- leaf fork ----
         v = clip(cur[0])                       # [L, TB]
         sp_n = softplus(-v)
@@ -153,9 +166,9 @@ def _subtree_kernel(*refs, b, L, llr_max, mode, frz_static=None):
                 parent = jnp.where(frz_i, ident, sel % L)
                 ubit = jnp.where(frz_i, jnp.zeros((L, TB), jnp.int32),
                                  sel // L)[None]       # [1, L, TB]
-            lptr = [_gather_rows(p, parent) for p in lptr]
-            uptr = [_gather_rows(p, parent) for p in uptr]
-            P = _gather_rows(P, parent)
+            lptr = [pgather(p, parent) for p in lptr]
+            uptr = [pgather(p, parent) for p in uptr]
+            P = pgather(P, parent)
         # ---- rise: combine partial sums upward ----
         cur_u = ubit
         for s in range(min(r, b)):
@@ -164,8 +177,8 @@ def _subtree_kernel(*refs, b, L, llr_max, mode, frz_static=None):
             cw_ref[:] = cur_u                  # subtree codeword (last leaf)
         else:
             uloc[off(r):off(r + 1)] = cur_u
-            uptr[r] = ident
-    p_ref[:] = P
+            uptr[r] = None
+    p_ref[:] = ident if P is None else P
     pmo_ref[:] = pm
 
 
@@ -229,10 +242,15 @@ def _subtree_kernel_blocked(*refs, b, L, llr_max, mode, frz_static=None):
         return [op(slab_a[h], slab_b[h], *[e[h] for e in extra])
                 for h in range(nb)]
 
-    lptr = [list(ident) for _ in range(b + 1)]
-    uptr = [list(ident) for _ in range(b)]
-    P = list(ident)
+    # None = statically-identity pointer (see _subtree_kernel): skips the
+    # (L/8)^2-gather blocked composition entirely
+    lptr = [None] * (b + 1)
+    uptr = [None] * b
+    P = None
     pm = [pm_ref[8 * h:8 * h + 8, :] for h in range(nb)]  # 2D [L, TB] ref
+
+    def bpgather(p, parent):
+        return parent if p is None else _bgather(p, parent)
 
     def gathered_slab(slab_blocks, ptr):
         """Per-row gather of a logical [rows, L, TB] slab through a
@@ -248,10 +266,15 @@ def _subtree_kernel_blocked(*refs, b, L, llr_max, mode, frz_static=None):
     def readl(s):
         slab = (load_slab(a_ref, 0, w_sub) if s == b
                 else load_slab(lloc, off(s), 1 << s))
+        if lptr[s] is None:
+            return slab
         return gathered_slab(slab, lptr[s])
 
     def readu(s):
-        return gathered_slab(load_slab(uloc, off(s), 1 << s), uptr[s])
+        slab = load_slab(uloc, off(s), 1 << s)
+        if uptr[s] is None:
+            return slab
+        return gathered_slab(slab, uptr[s])
 
     def halves(slab):
         h2 = slab[0].shape[0] // 2
@@ -266,19 +289,19 @@ def _subtree_kernel_blocked(*refs, b, L, llr_max, mode, frz_static=None):
                 lo, hi = halves(cur)
                 cur = [f(lo[h], hi[h], llr_max) for h in range(nb)]
                 store_slab(lloc, off(s - 1), cur)
-                lptr[s - 1] = list(ident)
+                lptr[s - 1] = None
         else:
             seg = readl(d + 1)
             lo, hi = halves(seg)
             left = readu(d)
             cur = [g_op(lo[h], hi[h], left[h]) for h in range(nb)]
             store_slab(lloc, off(d), cur)
-            lptr[d] = list(ident)
+            lptr[d] = None
             for s in range(d, 0, -1):
                 lo, hi = halves(cur)
                 cur = [f(lo[h], hi[h], llr_max) for h in range(nb)]
                 store_slab(lloc, off(s - 1), cur)
-                lptr[s - 1] = list(ident)
+                lptr[s - 1] = None
         # ---- leaf fork (blocked top-L of 2L) ----
         v = [clip(cur[h][0]) for h in range(nb)]          # [8, TB] x nb
         sp_n = [softplus(-x) for x in v]
@@ -324,9 +347,9 @@ def _subtree_kernel_blocked(*refs, b, L, llr_max, mode, frz_static=None):
                           for h in range(nb)]
                 ubit = [jnp.where(frz_i, jnp.zeros((8, TB), jnp.int32),
                                   sel[h] // L) for h in range(nb)]
-            lptr = [_bgather(p, parent) for p in lptr]
-            uptr = [_bgather(p, parent) for p in uptr]
-            P = _bgather(P, parent)
+            lptr = [bpgather(p, parent) for p in lptr]
+            uptr = [bpgather(p, parent) for p in uptr]
+            P = bpgather(P, parent)
         # ---- rise: combine partial sums upward ----
         cur_u = [u[None] for u in ubit]                  # [1, 8, TB] x nb
         for s in range(min(r, b)):
@@ -337,7 +360,9 @@ def _subtree_kernel_blocked(*refs, b, L, llr_max, mode, frz_static=None):
             store_slab(cw_ref, 0, cur_u)   # subtree codeword (last leaf)
         else:
             store_slab(uloc, off(r), cur_u)
-            uptr[r] = list(ident)
+            uptr[r] = None
+    if P is None:
+        P = ident
     for h in range(nb):
         p_ref[8 * h:8 * h + 8, :] = P[h]
         pmo_ref[8 * h:8 * h + 8, :] = pm[h]
