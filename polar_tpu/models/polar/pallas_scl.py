@@ -424,8 +424,14 @@ def sc_subtree_pallas(a, frz, *, b, llr_max, mode, interpret=False,
     assert w_sub == (1 << b)
     W = (1 << b) - 1  # stages 0..b-1; stage b reads the input block
     vlim = _vmem_limit_override()
+    bytes_fn = lambda t: sc_vmem_bytes(b, t)
+    if b >= 10:
+        # the 1024-leaf unrolled body additionally SPILLS live vectors to
+        # the VMEM stack (measured 17.04M total vs the 8.0M block+scratch
+        # model at TB=512); spill scales with the tile, so budget ~2.2x
+        bytes_fn = lambda t: int(2.2 * sc_vmem_bytes(b, t))
     TB = tile if tile is not None else fit_tile(
-        bs, lambda t: sc_vmem_bytes(b, t), vmem_limit=vlim)
+        bs, bytes_fn, vmem_limit=vlim)
     TB = min(TB, bs)
     assert bs % TB == 0
     kern = functools.partial(_sc_subtree_kernel, b=b,
