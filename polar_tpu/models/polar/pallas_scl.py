@@ -424,12 +424,14 @@ def sc_subtree_pallas(a, frz, *, b, llr_max, mode, interpret=False,
     assert w_sub == (1 << b)
     W = (1 << b) - 1  # stages 0..b-1; stage b reads the input block
     vlim = _vmem_limit_override()
-    bytes_fn = lambda t: sc_vmem_bytes(b, t)
-    if b >= 10:
-        # the 1024-leaf unrolled body additionally SPILLS live vectors to
-        # the VMEM stack (measured 17.04M total vs the 8.0M block+scratch
-        # model at TB=512); spill scales with the tile, so budget ~2.2x
-        bytes_fn = lambda t: int(2.2 * sc_vmem_bytes(b, t))
+    # the unrolled SC body SPILLS live vectors to the VMEM stack on top of
+    # blocks+scratch, roughly doubling the footprint at wide batch tiles
+    # (measured: b=10 TB=512 -> 17.04M vs the 8.0M model; b=8 TB=2048 and
+    # b=6 TB=8192, both ~8M modeled, also stack-OOM cold, while the
+    # half-tile configs ~4M modeled compile). Budget 2.2x at every b; the
+    # (listful) SCL kernel runs much smaller tiles and matches the plain
+    # model exactly, so it keeps the uninflated accounting.
+    bytes_fn = lambda t: int(2.2 * sc_vmem_bytes(b, t))
     TB = tile if tile is not None else fit_tile(
         bs, bytes_fn, vmem_limit=vlim)
     TB = min(TB, bs)

@@ -318,7 +318,9 @@ def resolve_lower_stages(S: int, bs: int, use_pallas: bool,
     from polar_tpu.models.polar import pallas_scl as pk
     cap = SC_PALLAS_B_CAP if L is None else SCL_PALLAS_B_CAP
     for b in range(min(cap, S - 1), 0, -1):
-        bytes_fn = ((lambda t: pk.sc_vmem_bytes(b, t)) if L is None
+        # SC budgets 2.2x for the Mosaic stack spill (see sc_subtree_pallas)
+        bytes_fn = ((lambda t: int(2.2 * pk.sc_vmem_bytes(b, t)))
+                    if L is None
                     else (lambda t: pk.scl_vmem_bytes(b, L, t)))
         try:
             pk.fit_tile(bs, bytes_fn)
