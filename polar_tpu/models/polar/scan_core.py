@@ -299,6 +299,7 @@ DEFAULT_LOWER_STAGES = None
 # handles n<=512 separately so the hybrid SC cap matters only for n>=1024
 SCL_PALLAS_B_CAP = 9
 SC_PALLAS_B_CAP = 9
+BLOCKED_B_CAP = 6      # L>8 blocked-kernel auto cap (see resolve below)
 XLA_DEFAULT_B = 5
 
 
@@ -317,6 +318,12 @@ def resolve_lower_stages(S: int, bs: int, use_pallas: bool,
         return min(XLA_DEFAULT_B, S - 1)
     from polar_tpu.models.polar import pallas_scl as pk
     cap = SC_PALLAS_B_CAP if L is None else SCL_PALLAS_B_CAP
+    if L is not None and L > 8:
+        # blocked-kernel (L=16/32) sweet spot: gather cost scales with
+        # (L/8)^2 and Mosaic compile time with 2^b — measured on v5e at
+        # n=1024 (benchmarks/throughput.json). Explicit overrides (env or
+        # lower_stages=) skip this cap.
+        cap = min(cap, BLOCKED_B_CAP)
     for b in range(min(cap, S - 1), 0, -1):
         # SC budgets 2.2x for the Mosaic stack spill (see sc_subtree_pallas)
         bytes_fn = ((lambda t: int(2.2 * pk.sc_vmem_bytes(b, t)))
@@ -504,11 +511,6 @@ def scl_sweep_hybrid(llr_ch, frozen_mask, list_size: int,
          if lower_stages is None else min(int(lower_stages), S - 1))
     if b < 1:
         return scl_sweep(llr_ch, frozen_mask, L, mode, llr_max)
-    if use_pallas and L > 8:
-        # blocked-kernel subtree sweet spot (gather cost scales with
-        # (L/8)^2 and Mosaic compile time with 2^b): measured on v5e at
-        # n=1024 — see benchmarks/throughput.json for the current survey
-        b = min(b, 6)
     f = F_FUNCTIONS[mode]
     w_sub = 1 << b
     m = n >> b
