@@ -39,6 +39,22 @@ from polar_tpu.models.polar.scan_core import leaf_schedule
 
 _BIG = 3.0e38  # plain float: jnp constants would be captured by the kernel
 
+_STALE = "stale"  # trace-time marker for a dead (rewritten-before-read)
+#                   path pointer whose composition was liveness-pruned
+
+
+def _lptr_live(s: int, i: int) -> bool:
+    """lloc stage-s pointer live after the fork at leaf ``i``: its g-read
+    is still pending iff bit_{s-1}(i) == 0 (stage 0 is consumed before the
+    fork and never read after — always dead)."""
+    return s >= 1 and ((i >> (s - 1)) & 1) == 0
+
+
+def _uptr_live(s: int, i: int) -> bool:
+    """uloc stage-s pointer live after the fork at leaf ``i``: its combine
+    is still pending iff bit_s(i) == 1."""
+    return ((i >> s) & 1) == 1
+
 
 def _g8(x2d, ptr):
     """Gather rows of a [8, TB] 32-bit tile by per-lane row index.
@@ -83,11 +99,14 @@ def _subtree_kernel(*refs, b, L, llr_max, mode, frz_static=None):
     softplus = lambda x: jnp.logaddexp(0.0, x)
 
     # Pointer representation: ``None`` means statically-identity (freshly
-    # reset by a descent/rise write, no fork since). Reads through an
-    # identity pointer skip ALL per-row gathers, and a fork composes an
-    # identity pointer for free (the composition IS ``parent``). This is
-    # trace-time bookkeeping — the emitted ops are bit-identical to always
-    # gathering, minus the provable no-ops.
+    # reset by a descent/rise write, no fork since); ``_STALE`` means the
+    # segment is provably rewritten before its next read, so its pointer
+    # was deliberately NOT composed at the last fork (liveness pruning —
+    # the same rule the unrolled engine uses, scl.py _fork: lloc stage s
+    # is live at leaf i iff bit_{s-1}(i) == 0, uloc stage s iff
+    # bit_s(i) == 1, stage-0 lloc never). Reads assert non-stale. This is
+    # all trace-time bookkeeping — the emitted ops are bit-identical to
+    # always gathering, minus the provable no-ops.
     lptr = [None] * (b + 1)    # stage-s pointer for lloc
     uptr = [None] * b          # stage-s pointer for uloc
     P = None                   # parent-map composition over the subtree
@@ -101,6 +120,7 @@ def _subtree_kernel(*refs, b, L, llr_max, mode, frz_static=None):
         return parent if p is None else _gather_rows(p, parent)
 
     def readl(s):
+        assert lptr[s] is not _STALE, f"read of dead lloc stage {s}"
         seg = a_ref[:] if s == b else lloc[off(s):off(s + 1)]
         if lptr[s] is None:
             return seg
@@ -108,6 +128,7 @@ def _subtree_kernel(*refs, b, L, llr_max, mode, frz_static=None):
                           for j in range(1 << s)], axis=0)
 
     def readu(s):
+        assert uptr[s] is not _STALE, f"read of dead uloc stage {s}"
         seg = uloc[off(s):off(s + 1)]
         if uptr[s] is None:
             return seg
@@ -166,8 +187,12 @@ def _subtree_kernel(*refs, b, L, llr_max, mode, frz_static=None):
                 parent = jnp.where(frz_i, ident, sel % L)
                 ubit = jnp.where(frz_i, jnp.zeros((L, TB), jnp.int32),
                                  sel // L)[None]       # [1, L, TB]
-            lptr = [pgather(p, parent) for p in lptr]
-            uptr = [pgather(p, parent) for p in uptr]
+            # liveness-pruned composition: dead stages are rewritten
+            # before their next read, so skip their gathers outright
+            lptr = [pgather(p, parent) if _lptr_live(s, i) else _STALE
+                    for s, p in enumerate(lptr)]
+            uptr = [pgather(p, parent) if _uptr_live(s, i) else _STALE
+                    for s, p in enumerate(uptr)]
             P = pgather(P, parent)
         # ---- rise: combine partial sums upward ----
         cur_u = ubit
@@ -264,6 +289,7 @@ def _subtree_kernel_blocked(*refs, b, L, llr_max, mode, frz_static=None):
                 for h in range(nb)]
 
     def readl(s):
+        assert lptr[s] is not _STALE, f"read of dead lloc stage {s}"
         slab = (load_slab(a_ref, 0, w_sub) if s == b
                 else load_slab(lloc, off(s), 1 << s))
         if lptr[s] is None:
@@ -271,6 +297,7 @@ def _subtree_kernel_blocked(*refs, b, L, llr_max, mode, frz_static=None):
         return gathered_slab(slab, lptr[s])
 
     def readu(s):
+        assert uptr[s] is not _STALE, f"read of dead uloc stage {s}"
         slab = load_slab(uloc, off(s), 1 << s)
         if uptr[s] is None:
             return slab
@@ -347,8 +374,12 @@ def _subtree_kernel_blocked(*refs, b, L, llr_max, mode, frz_static=None):
                           for h in range(nb)]
                 ubit = [jnp.where(frz_i, jnp.zeros((8, TB), jnp.int32),
                                   sel[h] // L) for h in range(nb)]
-            lptr = [bpgather(p, parent) for p in lptr]
-            uptr = [bpgather(p, parent) for p in uptr]
+            # liveness-pruned composition (see _subtree_kernel): dead
+            # stages skip their (L/8)^2 blocked gathers entirely
+            lptr = [bpgather(p, parent) if _lptr_live(s, i) else _STALE
+                    for s, p in enumerate(lptr)]
+            uptr = [bpgather(p, parent) if _uptr_live(s, i) else _STALE
+                    for s, p in enumerate(uptr)]
             P = bpgather(P, parent)
         # ---- rise: combine partial sums upward ----
         cur_u = [u[None] for u in ubit]                  # [1, 8, TB] x nb
