@@ -57,7 +57,7 @@ class PolarBPDecoder:
                  mode: str = "minsum", hard_out: bool = True,
                  llr_max: float = 30.0, msf: float = 0.9375,
                  early_stop: bool = True, check_every: int = 2,
-                 output_dtype=jnp.float32):
+                 use_pallas=None, output_dtype=jnp.float32):
         n = int(n)
         assert np.log2(n) == int(np.log2(n)), "n must be a power of 2."
         assert num_iter >= 1
@@ -88,6 +88,11 @@ class PolarBPDecoder:
         frozen_mask = np.zeros(n, dtype=bool)
         frozen_mask[self.frozen_pos] = True
         self._frozen_mask = frozen_mask
+        # fused whole-decode Pallas kernel (pallas_bp.py): the message
+        # lattice stays VMEM-resident across ALL sweeps instead of riding
+        # HBM 2S times per sweep. None = auto (TPU, lane-aligned batch);
+        # bit-identical to the XLA engine (tests/test_bp.py).
+        self._use_pallas = use_pallas
         self._jit_decode = jax.jit(self._decode_2d)
 
     def _pairs(self, x, s):
@@ -106,6 +111,21 @@ class PolarBPDecoder:
         n, S = self.n, self._S
         f = self._f
         llr_ch = -llr_logits.astype(jnp.float32).T  # [n, bs] true LLRs
+
+        use_pallas = self._use_pallas
+        if use_pallas is None:
+            use_pallas = (jax.default_backend() not in ("cpu",)
+                          and bs % 128 == 0)
+        if use_pallas:
+            from polar_tpu.models.polar.pallas_bp import bp_pallas
+            u_llr = bp_pallas(
+                llr_ch, jnp.asarray(self._prior), S=S,
+                num_iter=self.num_iter, check_every=self.check_every,
+                early_stop=self.early_stop, mode=self.mode, msf=self.msf,
+                llr_max=self.llr_max,
+                interpret=jax.default_backend() == "cpu")
+            return self._finish(u_llr)
+
         prior = jnp.broadcast_to(jnp.asarray(self._prior)[:, None], (n, bs))
 
         # message lattice: lmsg/rmsg [S+1, n, bs]
@@ -185,7 +205,10 @@ class PolarBPDecoder:
 
             lmsg, rmsg = lax.fori_loop(0, self.num_iter, one_iter,
                                        (lmsg, rmsg))
-        u_llr = lmsg[0] + rmsg[0]  # info-side total LLR [n, bs]
+        return self._finish(lmsg[0] + rmsg[0])
+
+    def _finish(self, u_llr):
+        """info-side total LLR [n, bs] -> decoder output [bs, k]."""
         u_info = jnp.take(u_llr, self.info_pos, axis=0)  # [k, bs]
         if self.hard_out:
             out = (u_info <= 0).astype(self.output_dtype)

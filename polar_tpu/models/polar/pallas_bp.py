@@ -1,0 +1,183 @@
+"""Fused Pallas TPU kernel for iterative BP polar decoding.
+
+One ``pallas_call`` runs the ENTIRE BP decode (all ``num_iter`` sweeps)
+per batch tile with the full message lattice VMEM-resident — the XLA
+engine (bp.py) re-reads and re-writes the ``2 x [S+1, n, bs]`` lattice
+from HBM at every stage of every sweep (~4x off the HBM roofline at
+n=1024, measured), while this kernel touches HBM exactly twice per
+codeword: one read of the channel LLRs, one write of the info-side soft
+output.
+
+The butterfly is expressed ROWWISE so no reshape ever happens inside the
+kernel (Mosaic-friendly: only static row slices, concats, selects — the
+same op set as the proven SCL kernels in pallas_scl.py): the stage-s
+partner of row ``i`` is ``i XOR 2^s``, materialized as two shift-concats
+(``x[i+2^s]`` / ``x[i-2^s]``) selected by the bit mask. Wrap rows from
+the shifts are never selected. The processing-element update
+(bp.py docstring, Arikan BP over the encoding graph) becomes, with
+``A = lmsg[s+1]``, ``B = rmsg[s]``, ``Ap/Bp`` their partners:
+
+    l_new = where(bit_s==0, f(A, Ap + Bp), f(Ap, Bp) + A)
+    r_new = where(bit_s==0, f(B, Ap + Bp), f(Bp, Ap) + B)
+
+G-matrix early stopping keeps the exact XLA-engine semantics: every
+``check_every`` sweeps each lane's info-side hard decision is re-encoded
+(same rowwise XOR butterfly) and compared to the channel-side hard
+decision; converged lanes FREEZE (writes are ``where(done, old, new)``)
+— bit-identical to the engine's chunk-level select because ``done`` is
+constant within a chunk. The kernel runs all chunks (a converged lane's
+extra sweeps are no-ops), so values match the engine's early-exit loop.
+
+Iterations run in a ``lax.fori_loop`` INSIDE the kernel, so the traced
+body stays ~1k ops regardless of ``num_iter``.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from polar_tpu.ops.fg import F_FUNCTIONS, make_scaled_minsum
+from polar_tpu.models.polar.pallas_scl import fit_tile, _vmem_limit_override
+
+
+def _roll_up(x, d):
+    """x[i + d] with wraparound (wrap rows are never selected)."""
+    return jnp.concatenate([x[d:], x[:d]], axis=0)
+
+
+def _roll_dn(x, d):
+    """x[i - d] with wraparound."""
+    return jnp.concatenate([x[-d:], x[:-d]], axis=0)
+
+
+def _bp_kernel(llr_ref, prior_ref, out_ref, lmsg, rmsg, done, *, S,
+               num_iter, check_every, early_stop, mode, msf, llr_max):
+    n, TB = llr_ref.shape
+    f = (make_scaled_minsum(msf)
+         if mode in ("minsum", "max") and msf != 1.0 else F_FUNCTIONS[mode])
+    rows = lax.broadcasted_iota(jnp.int32, (n, TB), 0)
+
+    def mask_u(s):
+        return ((rows >> s) & 1) == 0
+
+    def partner(x, s):
+        d = 1 << s
+        return jnp.where(mask_u(s), _roll_up(x, d), _roll_dn(x, d))
+
+    # lattice layout: stage s of lmsg/rmsg = scratch rows [s*n, (s+1)*n)
+    zero_rows = jnp.zeros((n, TB), jnp.float32)
+    for s in range(S):
+        lmsg[s * n:(s + 1) * n] = zero_rows
+        rmsg[(s + 1) * n:(s + 2) * n] = zero_rows
+    lmsg[S * n:(S + 1) * n] = llr_ref[:]
+    rmsg[0:n] = prior_ref[:]
+
+    def keep_sel(old, new):
+        if not early_stop:
+            return new
+        return jnp.where(done[0:1, :] != 0, old, new)
+
+    def sweep():
+        for s in range(S - 1, -1, -1):  # right-to-left: update l
+            A = lmsg[(s + 1) * n:(s + 2) * n]
+            B = rmsg[s * n:(s + 1) * n]
+            Ap, Bp = partner(A, s), partner(B, s)
+            l_new = jnp.where(mask_u(s), f(A, Ap + Bp, llr_max),
+                              f(Ap, Bp, llr_max) + A)
+            lmsg[s * n:(s + 1) * n] = keep_sel(lmsg[s * n:(s + 1) * n],
+                                               l_new)
+        for s in range(0, S):           # left-to-right: update r
+            A = lmsg[(s + 1) * n:(s + 2) * n]
+            B = rmsg[s * n:(s + 1) * n]
+            Ap, Bp = partner(A, s), partner(B, s)
+            r_new = jnp.where(mask_u(s), f(B, Ap + Bp, llr_max),
+                              f(Bp, Ap, llr_max) + B)
+            rmsg[(s + 1) * n:(s + 2) * n] = keep_sel(
+                rmsg[(s + 1) * n:(s + 2) * n], r_new)
+
+    if early_stop:
+        frozen = prior_ref[:] > 0.0
+
+        def converged():
+            u_hat = jnp.where(
+                frozen, 0,
+                (lmsg[0:n] + rmsg[0:n] <= 0.0).astype(jnp.int32))
+            x_hat = (lmsg[S * n:(S + 1) * n]
+                     + rmsg[S * n:(S + 1) * n] <= 0.0).astype(jnp.int32)
+            c = u_hat
+            for s in range(S):  # rowwise encode butterfly (G u)
+                c = jnp.where(mask_u(s), c ^ _roll_up(c, 1 << s), c)
+            return jnp.min(jnp.where(c == x_hat, 1, 0), axis=0,
+                           keepdims=True)  # (1, TB) all-rows-equal
+
+        done[0:1, :] = jnp.zeros((1, TB), jnp.int32)
+        full = (num_iter // check_every) * check_every
+
+        def chunk(_i, carry):
+            for _ in range(check_every):
+                sweep()
+            done[0:1, :] = done[0:1, :] | converged()
+            return carry
+
+        lax.fori_loop(0, num_iter // check_every, chunk, 0)
+        for _ in range(num_iter - full):  # static remainder (bp.py chunking)
+            sweep()
+    else:
+        def one(_i, carry):
+            sweep()
+            return carry
+
+        lax.fori_loop(0, num_iter, one, 0)
+    out_ref[:] = lmsg[0:n] + rmsg[0:n]  # info-side total LLR
+
+
+def bp_vmem_bytes(n: int, S: int, tb: int) -> int:
+    """Kernel VMEM footprint: lmsg + rmsg scratch (2 x (S+1) x n rows f32),
+    llr/prior/out blocks (3 x n rows) and the (8, tb) done flag."""
+    return 4 * tb * (2 * (S + 1) * n + 3 * n + 8)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "S", "num_iter", "check_every", "early_stop", "mode", "msf", "llr_max",
+    "interpret", "tile"))
+def bp_pallas(llr, prior, *, S, num_iter, check_every, early_stop, mode,
+              msf, llr_max, interpret=False, tile=None):
+    """Fused BP decode. ``llr``: [n, bs] f32 true channel LLRs, ``prior``:
+    [n] f32 frozen prior (+llr_max at frozen positions, 0 elsewhere) ->
+    info-side total LLR [n, bs] f32."""
+    n, bs = llr.shape
+    assert n == 1 << S
+    vlim = _vmem_limit_override()
+    TB = tile if tile is not None else fit_tile(
+        bs, lambda t: bp_vmem_bytes(n, S, t), vmem_limit=vlim)
+    TB = min(TB, bs)
+    assert bs % TB == 0
+    prior_tile = jnp.broadcast_to(prior[:, None], (n, TB))
+    kern = functools.partial(
+        _bp_kernel, S=S, num_iter=int(num_iter),
+        check_every=int(check_every), early_stop=bool(early_stop),
+        mode=mode, msf=float(msf), llr_max=float(llr_max))
+    bspec = pl.BlockSpec((n, TB), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+    # the prior block is identical for every tile: constant index map
+    pspec = pl.BlockSpec((n, TB), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(bs // TB,),
+        in_specs=[bspec, pspec],
+        out_specs=bspec,
+        out_shape=jax.ShapeDtypeStruct((n, bs), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM(((S + 1) * n, TB), jnp.float32),
+            pltpu.VMEM(((S + 1) * n, TB), jnp.float32),
+            pltpu.VMEM((8, TB), jnp.int32),
+        ],
+        compiler_params=(None if vlim is None
+                         else pltpu.CompilerParams(vmem_limit_bytes=vlim)),
+        interpret=interpret,
+    )(llr, prior_tile)

@@ -123,6 +123,27 @@ def test_bp_soft_output():
     np.testing.assert_array_equal(hard, u)
 
 
+@pytest.mark.parametrize("mode,early_stop,num_iter", [
+    ("minsum", True, 20),
+    ("minsum", True, 21),   # remainder chunk (num_iter % check_every != 0)
+    ("minsum", False, 12),
+    ("exact", True, 12),
+])
+def test_bp_pallas_equals_xla(mode, early_stop, num_iter):
+    """The fused whole-decode Pallas kernel (pallas_bp.py, interpret mode
+    on CPU) must be bit-identical to the XLA engine — same rowwise values,
+    same freeze-chunk early-stop semantics."""
+    n, k = 128, 64
+    frozen, logits, _u = _noisy_fixture(n, k, bs=256, seed=11)
+    kw = dict(num_iter=num_iter, mode=mode, early_stop=early_stop,
+              hard_out=False)
+    ref = PolarBPDecoder(frozen, n, use_pallas=False, **kw)
+    ker = PolarBPDecoder(frozen, n, use_pallas=True, **kw)
+    a = np.asarray(ref(jnp.asarray(logits)))
+    b = np.asarray(ker(jnp.asarray(logits)))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_bp_more_iters_not_worse():
     n, k = 64, 32
     frozen, _ = generate_5g_ranking(k, n)
