@@ -166,6 +166,34 @@ def test_sc_full_fuse_cold_compiles_at_bench_shape(n, cold_compile_cache):
                             interpret=False).compile()
 
 
+@pytest.mark.parametrize("early_stop", [True, False])
+def test_bp_pallas_compiled_equals_xla(early_stop):
+    """Compiled whole-decode BP kernel (pallas_bp.py) == XLA engine on the
+    chip (the CPU suite covers interpret mode; this catches Mosaic
+    regressions in the rowwise-roll butterfly)."""
+    _tpu_or_skip()
+    from polar_tpu.models.polar.bp import PolarBPDecoder
+    from polar_tpu.models.polar.construction import generate_5g_ranking
+    n, k, bs = 1024, 512, 256
+    frozen, _ = generate_5g_ranking(k, n)
+    rng = np.random.default_rng(5)
+    llr = jnp.asarray(rng.normal(0, 2, size=(bs, n)).astype(np.float32))
+    kw = dict(num_iter=10, early_stop=early_stop, hard_out=False)
+    a = PolarBPDecoder(frozen, n, use_pallas=False, **kw)(llr)
+    b = PolarBPDecoder(frozen, n, use_pallas=True, **kw)(llr)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bp_pallas_cold_compiles_at_bench_shape(cold_compile_cache):
+    _tpu_or_skip()
+    from polar_tpu.models.polar.pallas_bp import bp_pallas
+    llr = jax.ShapeDtypeStruct((1024, 8192), jnp.float32)
+    prior = jax.ShapeDtypeStruct((1024,), jnp.float32)
+    bp_pallas.lower(llr, prior, S=10, num_iter=20, check_every=2,
+                    early_stop=True, mode="minsum", msf=0.9375,
+                    llr_max=30.0, interpret=False).compile()
+
+
 def test_sc_sweep_pallas_equals_xla():
     _tpu_or_skip()
     from polar_tpu.models.polar.scan_core import sc_sweep_hybrid
