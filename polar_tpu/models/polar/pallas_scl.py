@@ -43,17 +43,42 @@ _STALE = "stale"  # trace-time marker for a dead (rewritten-before-read)
 #                   path pointer whose composition was liveness-pruned
 
 
-def _lptr_live(s: int, i: int) -> bool:
-    """lloc stage-s pointer live after the fork at leaf ``i``: its g-read
-    is still pending iff bit_{s-1}(i) == 0 (stage 0 is consumed before the
-    fork and never read after — always dead)."""
-    return s >= 1 and ((i >> (s - 1)) & 1) == 0
+def _ctz(i: int) -> int:
+    return (i & -i).bit_length() - 1
 
 
-def _uptr_live(s: int, i: int) -> bool:
-    """uloc stage-s pointer live after the fork at leaf ``i``: its combine
-    is still pending iff bit_s(i) == 1."""
-    return ((i >> s) & 1) == 1
+def _cto(i: int) -> int:
+    c = 0
+    while i & 1:
+        c += 1
+        i >>= 1
+    return c
+
+
+def _lptr_live(s: int, i_end: int) -> bool:
+    """lloc stage-s pointer live after the fork whose node ends at leaf
+    ``i_end``: its g-read is still pending iff bit_{s-1}(i_end) == 0
+    (stage 0 is consumed before the fork and never read after — always
+    dead; stages at or below a pruned node's root are automatically dead
+    because the node's low bits of ``i_end`` are all ones)."""
+    return s >= 1 and ((i_end >> (s - 1)) & 1) == 0
+
+
+def _uptr_live(s: int, i_end: int, s_node: int = 0) -> bool:
+    """uloc stage-s pointer live after the fork of a node at stage
+    ``s_node`` ending at leaf ``i_end``: its combine is still pending iff
+    bit_s(i_end) == 1 and the stage is at or above the node root (stages
+    below hold no data of the current span — the unrolled engine's
+    ``min_stage`` rule, scl.py _fork)."""
+    return s >= s_node and ((i_end >> s) & 1) == 1
+
+
+def _trivial_sched(frz_static):
+    """Per-leaf op schedule equivalent to the unpruned sweep: one 'f'/'i'
+    op per leaf (the static-frozen-set specialization without fast-SCL
+    node pruning)."""
+    return tuple(("f" if fz else "i", 0, i)
+                 for i, fz in enumerate(frz_static))
 
 
 def _g8(x2d, ptr):
@@ -77,22 +102,34 @@ def _gather_rows(x2d, ptr):
     return _g8(x2d, ptr)
 
 
-def _subtree_kernel(*refs, b, L, llr_max, mode, frz_static=None):
+def _subtree_kernel(*refs, b, L, llr_max, mode, frz_static=None,
+                    sched_static=None):
     # frz_static (tuple of 0/1, compile-time) specializes the kernel to
     # one frozen set: frozen leaves keep only the pm update — the top-L
     # selection AND every pointer gather vanish (parent == identity), which
     # is bit-identical to the branchless traced form and roughly halves
     # the fork work on rate-1/2 codes. The traced form (frz in SMEM)
     # remains for the lax.scan outer, where frz is carried data.
-    if frz_static is None:
+    #
+    # sched_static (tuple of ('z'|'r'|'f'|'i', stage, lo) ops from
+    # scan_core.fast_schedule) additionally prunes the node schedule
+    # itself: rate-0 nodes keep only a bulk pm update (Hashemi Eq. 26) and
+    # repetition nodes a single fork (Eq. 31), with all descent/rise work
+    # below their roots skipped — bit-identical to the unrolled engine's
+    # fast-SCL path (scl.py _node).
+    if frz_static is None and sched_static is None:
         frz_ref, a_ref, pm_ref, cw_ref, p_ref, pmo_ref, lloc, uloc = refs
     else:
         a_ref, pm_ref, cw_ref, p_ref, pmo_ref, lloc, uloc = refs
+    if sched_static is None and frz_static is not None:
+        sched_static = _trivial_sched(frz_static)
+    # 't' = traced leaf (frozen-ness selected branchlessly from frz_ref)
+    sched = (sched_static if sched_static is not None
+             else tuple(("t", 0, i) for i in range(1 << b)))
     f = F_FUNCTIONS[mode]
     w_sub = 1 << b
     TB = a_ref.shape[-1]
     off = lambda s: (1 << s) - 1
-    _, dsub, rsub = leaf_schedule(w_sub)
     ident = lax.broadcasted_iota(jnp.int32, (L, TB), 0)
     iota2l = lax.broadcasted_iota(jnp.int32, (2 * L, TB), 0)
     clip = lambda x: jnp.clip(x, -llr_max, llr_max)
@@ -135,68 +172,104 @@ def _subtree_kernel(*refs, b, L, llr_max, mode, frz_static=None):
         return jnp.stack([_gather_rows(seg[j], uptr[s])
                           for j in range(1 << s)], axis=0)
 
-    for i in range(w_sub):
-        d, r = int(dsub[i]), int(rsub[i])
-        # ---- descent to stage 0 ----
-        if i == 0:
+    def top_l(pmc):
+        """Iterative min extraction over [2L, TB] candidates — identical
+        tie semantics to lax.top_k (equal PMs -> lower candidate index)."""
+        tmp = pmc
+        vals, idxs = [], []
+        for _j in range(L):
+            val = jnp.min(tmp, axis=0, keepdims=True)   # [1, TB]
+            idx = jnp.min(jnp.where(tmp == val, iota2l, 2 * L),
+                          axis=0, keepdims=True)
+            vals.append(val)
+            idxs.append(idx)
+            tmp = jnp.where(iota2l == idx, _BIG, tmp)
+        return (jnp.concatenate(vals, axis=0),          # [L, TB] ascending
+                jnp.concatenate(idxs, axis=0).astype(jnp.int32))
+
+    for kind, s_nd, lo in sched:
+        w_nd = 1 << s_nd
+        i_end = lo + w_nd - 1
+        # ---- descent to the node root (stage s_nd) ----
+        # stages above the root are stored for later g-reads; the root
+        # value itself is consumed directly and never stored (a later
+        # g-entry at stage s_nd - 1 can only occur inside this node's
+        # span, which the schedule guarantees is not visited)
+        if lo == 0:
             cur = a_ref[:]
-            for s in range(b, 0, -1):
+            for s in range(b, s_nd, -1):
                 h = 1 << (s - 1)
                 cur = f(cur[:h], cur[h:], llr_max)
-                lloc[off(s - 1):off(s)] = cur
-                lptr[s - 1] = None
+                if s - 1 > s_nd:
+                    lloc[off(s - 1):off(s)] = cur
+                    lptr[s - 1] = None
+                else:
+                    lptr[s - 1] = _STALE
         else:
+            d = _ctz(lo)
             seg = readl(d + 1)
             h = 1 << d
             cur = g_op(seg[:h], seg[h:], readu(d))
-            lloc[off(d):off(d + 1)] = cur
-            lptr[d] = None
-            for s in range(d, 0, -1):
+            if d > s_nd:
+                lloc[off(d):off(d + 1)] = cur
+                lptr[d] = None
+            else:
+                lptr[d] = _STALE
+            for s in range(d, s_nd, -1):
                 h = 1 << (s - 1)
                 cur = f(cur[:h], cur[h:], llr_max)
-                lloc[off(s - 1):off(s)] = cur
-                lptr[s - 1] = None
-        # ---- leaf fork ----
-        v = clip(cur[0])                       # [L, TB]
-        sp_n = softplus(-v)
-        if frz_static is not None and frz_static[i]:
-            # statically frozen: pm update only; parents are the identity,
-            # so every pointer gather is a no-op and is skipped outright
-            pm = pm + sp_n
+                if s - 1 > s_nd:
+                    lloc[off(s - 1):off(s)] = cur
+                    lptr[s - 1] = None
+                else:
+                    lptr[s - 1] = _STALE
+        # ---- node ----
+        if kind == "f":
+            # statically frozen leaf: pm update only; parents are the
+            # identity, so every pointer gather is a no-op and is skipped
+            pm = pm + softplus(-clip(cur[0]))
             ubit = jnp.zeros((1, L, TB), jnp.int32)
+        elif kind == "z":
+            # rate-0 node: bulk pm update (Eq. 26), all-zero partial sums
+            pm = pm + jnp.sum(softplus(-clip(cur)), axis=0)
+            ubit = jnp.zeros((w_nd, L, TB), jnp.int32)
         else:
-            pmc = jnp.concatenate([pm + sp_n, pm + softplus(v)], axis=0)
-            tmp = pmc
-            vals, idxs = [], []
-            for _j in range(L):  # iterative min extraction == top_k ties
-                val = jnp.min(tmp, axis=0, keepdims=True)   # [1, TB]
-                idx = jnp.min(jnp.where(tmp == val, iota2l, 2 * L),
-                              axis=0, keepdims=True)
-                vals.append(val)
-                idxs.append(idx)
-                tmp = jnp.where(iota2l == idx, _BIG, tmp)
-            pm_fork = jnp.concatenate(vals, axis=0)     # [L, TB] ascending
-            sel = jnp.concatenate(idxs, axis=0).astype(jnp.int32)
-            if frz_static is not None:  # statically an info leaf
-                pm = pm_fork
-                parent = sel % L
-                ubit = (sel // L)[None]
-            else:  # traced frozen-ness: branchless select
-                frz_i = frz_ref[i] != 0
+            if kind == "r":
+                # repetition node: one fork for the repeated bit (Eq. 31)
+                a_c = clip(cur)
+                pmc = jnp.concatenate(
+                    [pm + jnp.sum(softplus(-a_c), axis=0),
+                     pm + jnp.sum(softplus(a_c), axis=0)], axis=0)
+            else:  # 'i' / 't' leaf fork
+                v = clip(cur[0])                       # [L, TB]
+                sp_n = softplus(-v)
+                pmc = jnp.concatenate([pm + sp_n, pm + softplus(v)],
+                                      axis=0)
+            pm_fork, sel = top_l(pmc)
+            if kind == "t":  # traced frozen-ness: branchless select
+                frz_i = frz_ref[lo] != 0
                 pm = jnp.where(frz_i, pm + sp_n, pm_fork)
                 parent = jnp.where(frz_i, ident, sel % L)
                 ubit = jnp.where(frz_i, jnp.zeros((L, TB), jnp.int32),
                                  sel // L)[None]       # [1, L, TB]
+            else:
+                pm = pm_fork
+                parent = sel % L
+                bit = sel // L                          # [L, TB]
+                ubit = (bit[None] if s_nd == 0
+                        else jnp.broadcast_to(bit[None], (w_nd, L, TB)))
             # liveness-pruned composition: dead stages are rewritten
             # before their next read, so skip their gathers outright
-            lptr = [pgather(p, parent) if _lptr_live(s, i) else _STALE
+            lptr = [pgather(p, parent) if _lptr_live(s, i_end) else _STALE
                     for s, p in enumerate(lptr)]
-            uptr = [pgather(p, parent) if _uptr_live(s, i) else _STALE
+            uptr = [pgather(p, parent)
+                    if _uptr_live(s, i_end, s_nd) else _STALE
                     for s, p in enumerate(uptr)]
             P = pgather(P, parent)
         # ---- rise: combine partial sums upward ----
+        r = _cto(i_end)
         cur_u = ubit
-        for s in range(min(r, b)):
+        for s in range(s_nd, min(r, b)):
             cur_u = jnp.concatenate([readu(s) ^ cur_u, cur_u], axis=0)
         if r >= b:
             cw_ref[:] = cur_u                  # subtree codeword (last leaf)
@@ -238,17 +311,21 @@ def _bgather(blocks, ptr_blocks):
     return out
 
 
-def _subtree_kernel_blocked(*refs, b, L, llr_max, mode, frz_static=None):
-    if frz_static is None:
+def _subtree_kernel_blocked(*refs, b, L, llr_max, mode, frz_static=None,
+                            sched_static=None):
+    if frz_static is None and sched_static is None:
         frz_ref, a_ref, pm_ref, cw_ref, p_ref, pmo_ref, lloc, uloc = refs
-    else:  # static frozen set: see _subtree_kernel
+    else:  # static frozen set / static fast schedule: see _subtree_kernel
         a_ref, pm_ref, cw_ref, p_ref, pmo_ref, lloc, uloc = refs
+    if sched_static is None and frz_static is not None:
+        sched_static = _trivial_sched(frz_static)
+    sched = (sched_static if sched_static is not None
+             else tuple(("t", 0, i) for i in range(1 << b)))
     f = F_FUNCTIONS[mode]
     nb = L // 8
     w_sub = 1 << b
     TB = a_ref.shape[-1]
     off = lambda s: (1 << s) - 1
-    _, dsub, rsub = leaf_schedule(w_sub)
     iota8 = lax.broadcasted_iota(jnp.int32, (8, TB), 0)
     ident = [iota8 + 8 * h for h in range(nb)]        # logical [L, TB]
     clip = lambda x: jnp.clip(x, -llr_max, llr_max)
@@ -307,83 +384,118 @@ def _subtree_kernel_blocked(*refs, b, L, llr_max, mode, frz_static=None):
         h2 = slab[0].shape[0] // 2
         return [x[:h2] for x in slab], [x[h2:] for x in slab]
 
-    for i in range(w_sub):
-        d, r = int(dsub[i]), int(rsub[i])
-        # ---- descent to stage 0 ----
-        if i == 0:
+    def top_l(cand):
+        """Blocked top-L of the 2*nb candidate blocks (candidate block j:
+        bit j // nb... candidate GLOBAL index of block j row q = 8*j + q),
+        same tie semantics as lax.top_k. Returns (pm_fork, sel) regrouped
+        into nb (8, TB) blocks of the L ascending survivors."""
+        tmp = list(cand)
+        vals, idxs = [], []
+        for _j in range(L):  # iterative min extraction == top_k ties
+            val = jnp.min(tmp[0], axis=0, keepdims=True)
+            for blk in tmp[1:]:
+                val = jnp.minimum(val,
+                                  jnp.min(blk, axis=0, keepdims=True))
+            idx = None
+            for jb, blk in enumerate(tmp):
+                cand_idx = jnp.where(blk == val, iota8 + 8 * jb, 2 * L)
+                m = jnp.min(cand_idx, axis=0, keepdims=True)
+                idx = m if idx is None else jnp.minimum(idx, m)
+            vals.append(val)
+            idxs.append(idx)
+            tmp = [jnp.where(iota8 + 8 * jb == idx, _BIG, blk)
+                   for jb, blk in enumerate(tmp)]
+        # regroup the L extracted rows into nb (8, TB) blocks
+        pm_fork = [jnp.concatenate(vals[8 * h:8 * h + 8], axis=0)
+                   for h in range(nb)]
+        sel = [jnp.concatenate(idxs[8 * h:8 * h + 8], axis=0)
+               .astype(jnp.int32) for h in range(nb)]
+        return pm_fork, sel
+
+    for kind, s_nd, lo_nd in sched:
+        w_nd = 1 << s_nd
+        i_end = lo_nd + w_nd - 1
+        # ---- descent to the node root (stage s_nd; see _subtree_kernel
+        # for the store/skip rules) ----
+        if lo_nd == 0:
             cur = load_slab(a_ref, 0, w_sub)
-            for s in range(b, 0, -1):
+            for s in range(b, s_nd, -1):
                 lo, hi = halves(cur)
                 cur = [f(lo[h], hi[h], llr_max) for h in range(nb)]
-                store_slab(lloc, off(s - 1), cur)
-                lptr[s - 1] = None
+                if s - 1 > s_nd:
+                    store_slab(lloc, off(s - 1), cur)
+                    lptr[s - 1] = None
+                else:
+                    lptr[s - 1] = _STALE
         else:
+            d = _ctz(lo_nd)
             seg = readl(d + 1)
             lo, hi = halves(seg)
             left = readu(d)
             cur = [g_op(lo[h], hi[h], left[h]) for h in range(nb)]
-            store_slab(lloc, off(d), cur)
-            lptr[d] = None
-            for s in range(d, 0, -1):
+            if d > s_nd:
+                store_slab(lloc, off(d), cur)
+                lptr[d] = None
+            else:
+                lptr[d] = _STALE
+            for s in range(d, s_nd, -1):
                 lo, hi = halves(cur)
                 cur = [f(lo[h], hi[h], llr_max) for h in range(nb)]
-                store_slab(lloc, off(s - 1), cur)
-                lptr[s - 1] = None
-        # ---- leaf fork (blocked top-L of 2L) ----
-        v = [clip(cur[h][0]) for h in range(nb)]          # [8, TB] x nb
-        sp_n = [softplus(-x) for x in v]
-        if frz_static is not None and frz_static[i]:
-            # statically frozen: pm update only, no selection, no gathers
-            pm = [pm[h] + sp_n[h] for h in range(nb)]
-            ubit = [jnp.zeros((8, TB), jnp.int32) for _ in range(nb)]
+                if s - 1 > s_nd:
+                    store_slab(lloc, off(s - 1), cur)
+                    lptr[s - 1] = None
+                else:
+                    lptr[s - 1] = _STALE
+        # ---- node (blocked) ----
+        if kind == "f":
+            # statically frozen leaf: pm update only, no selection/gathers
+            v = [clip(cur[h][0]) for h in range(nb)]      # [8, TB] x nb
+            pm = [pm[h] + softplus(-v[h]) for h in range(nb)]
+            ubit = [jnp.zeros((1, 8, TB), jnp.int32) for _ in range(nb)]
+        elif kind == "z":
+            # rate-0 node: bulk pm update (Eq. 26), all-zero partial sums
+            pm = [pm[h] + jnp.sum(softplus(-clip(cur[h])), axis=0)
+                  for h in range(nb)]
+            ubit = [jnp.zeros((w_nd, 8, TB), jnp.int32) for _ in range(nb)]
         else:
-            # candidate block j (j < nb: bit 0, j >= nb: bit 1), global
-            # candidate index of block j = 8*j .. 8*j+7
-            cand = ([pm[h] + sp_n[h] for h in range(nb)]
-                    + [pm[h] + softplus(v[h]) for h in range(nb)])
-            tmp = list(cand)
-            vals, idxs = [], []
-            for _j in range(L):  # iterative min extraction == top_k ties
-                val = jnp.min(tmp[0], axis=0, keepdims=True)
-                for blk in tmp[1:]:
-                    val = jnp.minimum(val,
-                                      jnp.min(blk, axis=0, keepdims=True))
-                idx = None
-                for jb, blk in enumerate(tmp):
-                    cand_idx = jnp.where(blk == val, iota8 + 8 * jb, 2 * L)
-                    m = jnp.min(cand_idx, axis=0, keepdims=True)
-                    idx = m if idx is None else jnp.minimum(idx, m)
-                vals.append(val)
-                idxs.append(idx)
-                tmp = [jnp.where(iota8 + 8 * jb == idx, _BIG, blk)
-                       for jb, blk in enumerate(tmp)]
-            # regroup the L extracted rows into nb (8, TB) blocks
-            pm_fork = [jnp.concatenate(vals[8 * h:8 * h + 8], axis=0)
-                       for h in range(nb)]
-            sel = [jnp.concatenate(idxs[8 * h:8 * h + 8], axis=0)
-                   .astype(jnp.int32) for h in range(nb)]
-            if frz_static is not None:  # statically an info leaf
-                pm = pm_fork
-                parent = [sel[h] % L for h in range(nb)]
-                ubit = [sel[h] // L for h in range(nb)]
-            else:
-                frz_i = frz_ref[i] != 0
+            if kind == "r":
+                # repetition node: one fork for the repeated bit (Eq. 31)
+                a_c = [clip(cur[h]) for h in range(nb)]
+                cand = ([pm[h] + jnp.sum(softplus(-a_c[h]), axis=0)
+                         for h in range(nb)]
+                        + [pm[h] + jnp.sum(softplus(a_c[h]), axis=0)
+                           for h in range(nb)])
+            else:  # 'i' / 't' leaf fork
+                v = [clip(cur[h][0]) for h in range(nb)]  # [8, TB] x nb
+                sp_n = [softplus(-x) for x in v]
+                cand = ([pm[h] + sp_n[h] for h in range(nb)]
+                        + [pm[h] + softplus(v[h]) for h in range(nb)])
+            pm_fork, sel = top_l(cand)
+            if kind == "t":  # traced frozen-ness: branchless select
+                frz_i = frz_ref[lo_nd] != 0
                 pm = [jnp.where(frz_i, pm[h] + sp_n[h], pm_fork[h])
                       for h in range(nb)]
                 parent = [jnp.where(frz_i, ident[h], sel[h] % L)
                           for h in range(nb)]
                 ubit = [jnp.where(frz_i, jnp.zeros((8, TB), jnp.int32),
-                                  sel[h] // L) for h in range(nb)]
+                                  sel[h] // L)[None] for h in range(nb)]
+            else:
+                pm = pm_fork
+                parent = [sel[h] % L for h in range(nb)]
+                ubit = [jnp.broadcast_to((sel[h] // L)[None],
+                                         (w_nd, 8, TB)) for h in range(nb)]
             # liveness-pruned composition (see _subtree_kernel): dead
             # stages skip their (L/8)^2 blocked gathers entirely
-            lptr = [bpgather(p, parent) if _lptr_live(s, i) else _STALE
+            lptr = [bpgather(p, parent) if _lptr_live(s, i_end) else _STALE
                     for s, p in enumerate(lptr)]
-            uptr = [bpgather(p, parent) if _uptr_live(s, i) else _STALE
+            uptr = [bpgather(p, parent)
+                    if _uptr_live(s, i_end, s_nd) else _STALE
                     for s, p in enumerate(uptr)]
             P = bpgather(P, parent)
         # ---- rise: combine partial sums upward ----
-        cur_u = [u[None] for u in ubit]                  # [1, 8, TB] x nb
-        for s in range(min(r, b)):
+        r = _cto(i_end)
+        cur_u = ubit                               # [w_nd, 8, TB] x nb
+        for s in range(s_nd, min(r, b)):
             left = readu(s)
             cur_u = [jnp.concatenate([left[h] ^ cur_u[h], cur_u[h]], axis=0)
                      for h in range(nb)]
@@ -555,18 +667,24 @@ def fit_tile(bs: int, bytes_fn, vmem_limit: int | None = None) -> int:
 
 @functools.partial(jax.jit, static_argnames=("b", "L", "llr_max", "mode",
                                              "interpret", "tile",
-                                             "frz_static"))
+                                             "frz_static", "sched_static"))
 def subtree_pallas(a, frz, pm, *, b, L, llr_max, mode, interpret=False,
-                   tile=None, frz_static=None):
+                   tile=None, frz_static=None, sched_static=None):
     """Run the fused subtree kernel. ``a``: [2^b, L, bs] f32 stage-b LLRs,
-    ``frz``: [2^b] int32 (pass None with ``frz_static``), ``pm``:
-    [L, bs] f32. Returns (cw [2^b, L, bs] int32, P [L, bs] int32,
+    ``frz``: [2^b] int32 (pass None with ``frz_static``/``sched_static``),
+    ``pm``: [L, bs] f32. Returns (cw [2^b, L, bs] int32, P [L, bs] int32,
     pm [L, bs] f32).
 
     ``frz_static`` (tuple of 0/1, hashable) compiles a code-specialized
     kernel: statically frozen leaves skip the top-L selection and all
     pointer gathers — bit-identical to the traced form, ~half the fork
-    work on rate-1/2 codes (one executable per frozen set)."""
+    work on rate-1/2 codes (one executable per frozen set).
+
+    ``sched_static`` (tuple of (kind, stage, lo) ops from
+    ``scan_core.fast_schedule``) compiles the fast-SCL pruned kernel
+    (Hashemi rate-0 / repetition shortcuts, reference default
+    ``use_fast_scl=True`` — my_sn/fec/polar/dec.py:264-307); mutually
+    redundant with frz_static (the schedule fixes the frozen set)."""
     w_sub, L_, bs = a.shape
     assert w_sub == (1 << b) and L_ == L
     W = (1 << b) - 1  # stages 0..b-1 only; stage b reads the input block
@@ -583,9 +701,11 @@ def subtree_pallas(a, frz, pm, *, b, L, llr_max, mode, interpret=False,
     if frz_static is not None:
         assert len(frz_static) == w_sub
         frz_static = tuple(int(x) for x in frz_static)
+    static = frz_static is not None or sched_static is not None
     kern = functools.partial(
         _subtree_kernel if L <= 8 else _subtree_kernel_blocked,
-        b=b, L=L, llr_max=float(llr_max), mode=mode, frz_static=frz_static)
+        b=b, L=L, llr_max=float(llr_max), mode=mode, frz_static=frz_static,
+        sched_static=sched_static)
     bspec = lambda rows: pl.BlockSpec((rows, L, TB),
                                       lambda i: (0, 0, i),
                                       memory_space=pltpu.VMEM)
@@ -593,7 +713,7 @@ def subtree_pallas(a, frz, pm, *, b, L, llr_max, mode, interpret=False,
                           memory_space=pltpu.VMEM)
     in_specs = [bspec(w_sub), bspec2]               # a, pm
     inputs = (a, pm)
-    if frz_static is None:
+    if not static:
         in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
         inputs = (frz,) + inputs
     return pl.pallas_call(

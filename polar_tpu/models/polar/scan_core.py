@@ -73,6 +73,73 @@ def leaf_schedule(n: int):
     return S, desc, rise
 
 
+def fast_schedule(frozen_mask):
+    """Fast-SCL pruned node schedule (Hashemi rate-0 / repetition), exactly
+    mirroring the unrolled engine's recursion (scl.py _node: a node at
+    stage >= 1 prunes if its whole span is frozen — Eq. 26 bulk PM update —
+    or if everything but its LAST leaf is frozen — Eq. 31 one-fork
+    repetition). Returns ops in leaf order:
+
+        ('z', s, lo)  rate-0 node covering [lo, lo + 2^s)
+        ('r', s, lo)  repetition node
+        ('f', 0, lo)  frozen leaf
+        ('i', 0, lo)  info leaf
+    """
+    mask = np.asarray(frozen_mask, dtype=bool)
+    n = len(mask)
+    ops = []
+
+    def rec(s, lo):
+        w = 1 << s
+        seg = mask[lo:lo + w]
+        if s >= 1 and seg.all():
+            ops.append(("z", s, lo))
+        elif s >= 1 and not seg[-1] and seg[:-1].all():
+            ops.append(("r", s, lo))
+        elif s == 0:
+            ops.append(("f" if seg[0] else "i", 0, lo))
+        else:
+            rec(s - 1, lo)
+            rec(s - 1, lo + w // 2)
+
+    rec(int(np.log2(n)), 0)
+    return ops
+
+
+def split_fast_schedule(frozen_mask, b):
+    """Partition the global fast schedule at the two-level boundary 2^b.
+
+    Returns ``(units, has_upper_rep)`` where ``units`` is a leaf-ordered
+    list of either ``('sub', j, sched_j)`` — subtree ``j`` with its local
+    op tuple (stages <= b, ``lo`` subtree-local) — or ``('z', s, j0, q)``
+    — an upper rate-0 node at stage ``s > b`` covering the ``q = 2^(s-b)``
+    subtrees starting at ``j0``. Upper repetition nodes (possible only in
+    pathological frozen sets) are flagged, not split."""
+    units, has_upper_rep = [], False
+    cur_j, cur_ops = None, []
+
+    def flush():
+        nonlocal cur_j, cur_ops
+        if cur_j is not None:
+            units.append(("sub", cur_j, tuple(cur_ops)))
+            cur_j, cur_ops = None, []
+
+    for kind, s, lo in fast_schedule(frozen_mask):
+        if s > b:
+            flush()
+            if kind == "r":
+                has_upper_rep = True
+            units.append((kind, s, lo >> b, 1 << (s - b)))
+        else:
+            j = lo >> b
+            if j != cur_j:
+                flush()
+                cur_j = j
+            cur_ops.append((kind, s, lo - (j << b)))
+    flush()
+    return units, has_upper_rep
+
+
 def _replace(t, i, v):
     """Tuple with element i replaced (branches must keep pytree structure)."""
     return t[:i] + (v,) + t[i + 1:]
@@ -748,4 +815,283 @@ def scl_sweep_hybrid(llr_ch, frozen_mask, list_size: int,
     _, labels = lax.scan(back, ident, Ps, reverse=True)  # [m, L, bs]
     cw = jnp.take_along_axis(cws, labels[:, None], axis=2)  # [m, 2^b, L, bs]
     u = polar_transform(cw, axis=1)  # per-subtree involution -> decisions
+    return u.reshape(n, L, bs), pm
+
+
+# ----------------------------------------------------------------------
+# Fast-SCL hybrid sweep (Hashemi rate-0 / repetition pruning)
+# ----------------------------------------------------------------------
+# Bit-identical to the unrolled engine with use_fast_scl=True (the
+# reference default, my_sn/fec/polar/dec.py:264-307 via scl.py _node):
+# the global pruned schedule is split at the subtree boundary —
+# sub-subtree nodes run inside the fused kernel (pallas_scl sched_static)
+# or the XLA mirror below; nodes spanning whole subtrees (upper rate-0 /
+# repetition) are handled here at their true stage, with the repetition
+# fork's parent map attached to the FIRST covered subtree so survivor
+# backtracking reads the covered emissions in post-fork order.
+# The outer sweep is always unrolled (the schedule is static anyway);
+# program size is O(#pruned-ops), between O(log^2 n) and O(n).
+
+_STALE = "stale"  # dead pointer marker (rewritten before next read)
+
+
+def scl_sweep_hybrid_fast(llr_ch, frozen_mask, list_size: int,
+                          mode: str = "minsum", llr_max: float = 30.0,
+                          lower_stages: int = DEFAULT_LOWER_STAGES,
+                          use_pallas=None):
+    """Two-level fast-SCL sweep. Same contract as ``scl_sweep_hybrid``
+    (returns ``(u [n, L, bs] int8, pm [L, bs])``), but runs the Hashemi
+    rate-0/repetition pruned node schedule — bit-identical to
+    ``PolarSCLDecoder(schedule='unrolled', use_fast_scl=True)``."""
+    n, bs = llr_ch.shape
+    S = int(np.log2(n))
+    L = int(list_size)
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() not in ("cpu",)
+                      and bs % 128 == 0 and L in (8, 16, 32))
+    b = (resolve_lower_stages(S, bs, use_pallas, L=L)
+         if lower_stages is None else min(int(lower_stages), S - 1))
+    b = max(1, b)
+    f = F_FUNCTIONS[mode]
+    w_sub = 1 << b
+    m = n >> b
+    top = S - b
+    N_LB = top - 1
+    mask = np.asarray(frozen_mask, dtype=bool)
+    units, _ = split_fast_schedule(mask, b)
+    llr_bc = jnp.broadcast_to(llr_ch[:, None, :], (n, L, bs))
+    ident = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[:, None],
+                             (L, bs))
+    clip = lambda x: jnp.clip(x, -llr_max, llr_max)
+
+    # upper-stage state: per-stage buffers + per-stage path pointers with
+    # host-tracked identity (None) / dead (_STALE) markers, exactly the
+    # fused kernel's bookkeeping lifted to the XLA level.
+    lbs = [jnp.zeros((1 << (b + 1 + t), L, bs), jnp.float32)
+           for t in range(N_LB)]          # super-stage t+1 (real b+1+t)
+    u0s = [jnp.zeros((1 << (b + t), L, bs), jnp.int8)
+           for t in range(top)]           # super-stage t (real b+t)
+    lptr = [None] * N_LB
+    uptr = [None] * top
+    pm = jnp.full((L, bs), llr_max, jnp.float32).at[0].set(0.0)
+
+    def read(seg, ptr):
+        assert ptr is not _STALE, "read of dead upper stage"
+        if ptr is None:
+            return seg
+        return jnp.take_along_axis(seg, ptr[None], axis=1)
+
+    def compose(ptr, parent):
+        if ptr is None:
+            return parent
+        return jnp.take_along_axis(ptr, parent, axis=0)
+
+    def compose_live(parent, j_end: int, sg_nd: int):
+        """Re-index live upper pointers by the fork's parent selection.
+        lbs[t] (super-stage t+1) is live iff bit_t(j_end) == 0 (its g-read
+        is pending); u0s[t] iff bit_t(j_end) == 1 and t >= sg_nd (combine
+        pending at or above the node root) — the unrolled engine's
+        ``min_stage`` liveness (scl.py _fork)."""
+        for t in range(N_LB):
+            lptr[t] = (compose(lptr[t], parent)
+                       if ((j_end >> t) & 1) == 0 else _STALE)
+        for t in range(top):
+            uptr[t] = (compose(uptr[t], parent)
+                       if t >= sg_nd and ((j_end >> t) & 1) == 1
+                       else _STALE)
+
+    def descend(j0: int, sg_nd: int):
+        """LLR descent for the unit starting at super-leaf ``j0``, stopping
+        at super-stage ``sg_nd`` (real stage b + sg_nd). Returns the node
+        segment [2^(b+sg_nd), L, bs]; stores pass-through stages."""
+        if j0 == 0:
+            cur = llr_bc
+            for sg in range(top, sg_nd, -1):   # real stage b+sg -> b+sg-1
+                h = 1 << (b + sg - 1)
+                cur = f(cur[:h], cur[h:], llr_max)
+                if sg - 1 > sg_nd:
+                    lbs[sg - 2] = cur
+                    lptr[sg - 2] = None
+                elif sg - 1 >= 1:
+                    lptr[sg - 2] = _STALE
+            return cur
+        d = _ctz(j0)
+        a = llr_bc if d + 1 == top else read(lbs[d], lptr[d])
+        h = 1 << (b + d)
+        cur = g_op(a[:h], a[h:], read(u0s[d], uptr[d]))
+        if d > sg_nd:
+            lbs[d - 1] = cur
+            lptr[d - 1] = None
+        elif d >= 1:
+            lptr[d - 1] = _STALE
+        for sg in range(d, sg_nd, -1):
+            h = 1 << (b + sg - 1)
+            cur = f(cur[:h], cur[h:], llr_max)
+            if sg - 1 > sg_nd:
+                lbs[sg - 2] = cur
+                lptr[sg - 2] = None
+            elif sg - 1 >= 1:
+                lptr[sg - 2] = _STALE
+        return cur
+
+    def rise(node_sums, j_end: int, sg_nd: int):
+        """Combine partial sums upward from super-stage ``sg_nd`` through
+        cto(j_end) super-stages; store the result for the pending g-read."""
+        r = _cto(j_end)
+        cur_u = node_sums
+        for sg in range(sg_nd, min(r, top)):
+            left = read(u0s[sg], uptr[sg])
+            cur_u = jnp.concatenate([left ^ cur_u, cur_u], axis=0)
+        if r < top:
+            u0s[r] = cur_u
+            uptr[r] = None
+
+    def run_subtree(a, sched):
+        """One pruned subtree: fused kernel (sched_static) or XLA mirror.
+        Returns (cw_j [2^b, L, bs] int8, P_j [L, bs] int32 or None)."""
+        nonlocal pm
+        if use_pallas:
+            from polar_tpu.models.polar.pallas_scl import subtree_pallas
+            interp = jax.default_backend() == "cpu"
+            cw32, Pj, pm_new = subtree_pallas(
+                a, None, pm, b=b, L=L, llr_max=float(llr_max), mode=mode,
+                interpret=interp, sched_static=tuple(sched))
+            pm = pm_new
+            return cw32.astype(jnp.int8), Pj
+        return _subtree_fast_xla(a, sched)
+
+    def _subtree_fast_xla(a, sched):
+        """XLA mirror of the pruned subtree kernel: packed local buffers,
+        whole-buffer fork gathers (the stage-b input rides the packed
+        buffer so fork permutes reach it), Hashemi z/r shortcuts."""
+        nonlocal pm
+        W = (1 << (b + 1)) - 1
+        off = lambda s: (1 << s) - 1
+        P = None
+        lloc = jnp.zeros((W, L, bs), jnp.float32)
+        lloc = lloc.at[off(b):off(b + 1)].set(a)
+        uloc = jnp.zeros((W, L, bs), jnp.int8)
+        cwj = None
+        for kind, s_nd, lo in sched:
+            w_nd = 1 << s_nd
+            i_end = lo + w_nd - 1
+            # descent to the node root
+            if lo == 0:
+                cur = lloc[off(b):off(b + 1)]
+                for s in range(b, s_nd, -1):
+                    h = 1 << (s - 1)
+                    cur = f(cur[:h], cur[h:], llr_max)
+                    if s - 1 > s_nd:
+                        lloc = lloc.at[off(s - 1):off(s)].set(cur)
+            else:
+                d = _ctz(lo)
+                seg = lloc[off(d + 1):off(d + 2)]
+                h = 1 << d
+                cur = g_op(seg[:h], seg[h:], uloc[off(d):off(d + 1)])
+                if d > s_nd:
+                    lloc = lloc.at[off(d):off(d + 1)].set(cur)
+                for s in range(d, s_nd, -1):
+                    h = 1 << (s - 1)
+                    cur = f(cur[:h], cur[h:], llr_max)
+                    if s - 1 > s_nd:
+                        lloc = lloc.at[off(s - 1):off(s)].set(cur)
+            # node
+            if kind == "f":
+                pm = pm + _softplus(-clip(cur[0]))
+                ubit = jnp.zeros((1, L, bs), jnp.int8)
+            elif kind == "z":
+                pm = pm + jnp.sum(_softplus(-clip(cur)), axis=0)
+                ubit = jnp.zeros((w_nd, L, bs), jnp.int8)
+            else:
+                if kind == "r":
+                    a_c = clip(cur)
+                    pmc = jnp.concatenate(
+                        [pm + jnp.sum(_softplus(-a_c), axis=0),
+                         pm + jnp.sum(_softplus(a_c), axis=0)], axis=0)
+                else:  # 'i'
+                    v = clip(cur[0])
+                    pmc = jnp.concatenate(
+                        [pm + _softplus(-v), pm + _softplus(v)], axis=0)
+                neg_vals, idxk = lax.top_k(-pmc.T, L)  # [bs, L]
+                pm = (-neg_vals).T
+                parent = (idxk % L).T.astype(jnp.int32)
+                bit = (idxk // L).T.astype(jnp.int8)
+                ubit = (bit[None] if s_nd == 0
+                        else jnp.broadcast_to(bit[None], (w_nd, L, bs)))
+                p3 = parent[None]
+                lloc = jnp.take_along_axis(lloc, p3, axis=1)
+                uloc = jnp.take_along_axis(uloc, p3, axis=1)
+                P = parent if P is None \
+                    else jnp.take_along_axis(P, parent, axis=0)
+            # rise
+            r = _cto(i_end)
+            cur_u = ubit
+            for s in range(s_nd, min(r, b)):
+                left = uloc[off(s):off(s + 1)]
+                cur_u = jnp.concatenate([left ^ cur_u, cur_u], axis=0)
+            if r >= b:
+                cwj = cur_u
+            else:
+                uloc = uloc.at[off(r):off(r + 1)].set(cur_u)
+        return cwj, P
+
+    # ---- the unrolled outer sweep over schedule units ----
+    cws_l = [None] * m
+    ps_l = [None] * m
+    for unit in units:
+        if unit[0] == "sub":
+            _, j, sched = unit
+            a = descend(j, 0)
+            cwj, Pj = run_subtree(a, sched)
+            if Pj is not None:
+                compose_live(Pj, j, 0)
+            cws_l[j] = cwj
+            ps_l[j] = Pj
+            rise(cwj, j, 0)
+        else:
+            kind, s_real, j0, q = unit
+            sg_nd = s_real - b
+            j_end = j0 + q - 1
+            cur = descend(j0, sg_nd)       # [2^s_real, L, bs]
+            if kind == "z":
+                # rate-0 spanning q subtrees: bulk pm update (Eq. 26)
+                pm = pm + jnp.sum(_softplus(-clip(cur)), axis=0)
+                node_sums = jnp.zeros((1 << s_real, L, bs), jnp.int8)
+                for jj in range(j0, j_end + 1):
+                    cws_l[jj] = jnp.zeros((w_sub, L, bs), jnp.int8)
+                    ps_l[jj] = None
+            else:
+                # repetition spanning q subtrees: one fork (Eq. 31)
+                a_c = clip(cur)
+                pmc = jnp.concatenate(
+                    [pm + jnp.sum(_softplus(-a_c), axis=0),
+                     pm + jnp.sum(_softplus(a_c), axis=0)], axis=0)
+                neg_vals, idxk = lax.top_k(-pmc.T, L)
+                pm = (-neg_vals).T
+                parent = (idxk % L).T.astype(jnp.int32)
+                ubit = (idxk // L).T.astype(jnp.int8)  # [L, bs]
+                compose_live(parent, j_end, sg_nd)
+                node_sums = jnp.broadcast_to(ubit[None],
+                                             (1 << s_real, L, bs))
+                cw_rep = jnp.broadcast_to(ubit[None], (w_sub, L, bs))
+                for jj in range(j0, j_end + 1):
+                    cws_l[jj] = cw_rep
+                    # the fork's parent map rides the FIRST covered subtree:
+                    # backtracking then reads every covered emission with
+                    # the post-fork label and switches to pre-fork slots
+                    # for everything before the node
+                    ps_l[jj] = parent if jj == j0 else None
+            rise(node_sums, j_end, sg_nd)
+
+    # ---- survivor backtracking (label=None tracks the identity) ----
+    label = None
+    cw_parts = [None] * m
+    for j in range(m - 1, -1, -1):
+        cw_parts[j] = (cws_l[j] if label is None else
+                       jnp.take_along_axis(cws_l[j], label[None], axis=1))
+        if ps_l[j] is not None:
+            label = (ps_l[j] if label is None else
+                     jnp.take_along_axis(ps_l[j], label, axis=0))
+    cw = jnp.stack(cw_parts, axis=0)  # [m, 2^b, L, bs]
+    u = polar_transform(cw, axis=1)
     return u.reshape(n, L, bs), pm

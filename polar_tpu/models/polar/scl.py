@@ -32,8 +32,6 @@ updates, same ``pm = [0, llr_max, ...]`` initialization), so survivor sets
 are identical up to PM ties.
 """
 
-import warnings
-
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -136,22 +134,19 @@ class PolarSCLDecoder:
             schedule = "scan" if n >= SCAN_THRESHOLD_N else "unrolled"
         self.schedule = schedule
         # Fast-SCL pruning (Hashemi rate-0/rep shortcuts, reference default
-        # use_fast_scl=True) exists only in the unrolled engine; under
-        # min-sum the pruned and plain trees differ numerically. Default
-        # None resolves per-engine; an explicit True with the scan engine
-        # warns instead of silently changing semantics across the auto
-        # threshold (exact-f results are identical either way).
+        # use_fast_scl=True): the unrolled engine prunes in its recursion;
+        # the scan engine runs the pruned schedule through
+        # scan_core.scl_sweep_hybrid_fast (bit-identical to the unrolled
+        # fast path — the outer sweep is then unrolled over schedule
+        # units, so the program is O(#pruned-ops) instead of O(log^2 n)).
+        # Under min-sum the pruned and plain trees differ numerically, so
+        # the default None resolves per-engine to keep each engine's
+        # established bit-contract: unrolled -> True (reference default),
+        # scan -> False (the O(log^2 n) plain sweep).
         if use_fast_scl is None:
             self.use_fast_scl = schedule == "unrolled"
         else:
             self.use_fast_scl = bool(use_fast_scl)
-            if (self.use_fast_scl and schedule == "scan"
-                    and mode in ("minsum", "max")):
-                warnings.warn(
-                    "schedule='scan' ignores use_fast_scl=True: the scan "
-                    "engine always runs the non-pruned SCL schedule "
-                    "(bit-different from fast-SCL under min-sum).",
-                    stacklevel=2)
 
         self._jit_decode = jax.jit(self._decode_2d)
 
@@ -287,10 +282,12 @@ class PolarSCLDecoder:
         llr_ch = -llr_logits.astype(jnp.float32).T  # [n, bs] true LLRs
 
         if self.schedule == "scan":
-            from polar_tpu.models.polar.scan_core import scl_sweep_hybrid
-            u_all, pm = scl_sweep_hybrid(llr_ch, self._frozen_mask, L,
-                                         mode=self.mode,
-                                         llr_max=self.llr_max)
+            from polar_tpu.models.polar.scan_core import (
+                scl_sweep_hybrid, scl_sweep_hybrid_fast)
+            sweep = (scl_sweep_hybrid_fast if self.use_fast_scl
+                     else scl_sweep_hybrid)
+            u_all, pm = sweep(llr_ch, self._frozen_mask, L,
+                              mode=self.mode, llr_max=self.llr_max)
         else:
             lbuf = jnp.zeros((n - 1, L, bs), dtype=jnp.float32)
             u0 = jnp.zeros((n - 1, L, bs), dtype=jnp.int8)

@@ -151,3 +151,97 @@ def test_leaf_schedule():
     assert S == 3
     np.testing.assert_array_equal(desc, [3, 0, 1, 0, 2, 0, 1, 0])
     np.testing.assert_array_equal(rise, [0, 1, 0, 2, 0, 1, 0, 3])
+
+
+# ----------------------------------------------------------------------
+# fast-SCL (Hashemi rate-0 / repetition pruning) — scan_core's pruned
+# hybrid sweep must be bit-identical to the unrolled engine's
+# use_fast_scl=True path (the reference default)
+# ----------------------------------------------------------------------
+
+def test_fast_schedule_matches_unrolled_pruning_rules():
+    """fast_schedule applies exactly the unrolled engine's rules (scl.py
+    _node): topmost all-frozen node -> 'z', all-frozen-but-last-leaf ->
+    'r', otherwise recurse; ops tile the leaf range in order."""
+    from polar_tpu.models.polar.scan_core import fast_schedule
+    mask = np.array([1, 1, 1, 1, 1, 1, 1, 0,   # rep node at stage 3
+                     0, 1, 0, 0, 1, 1, 1, 1], dtype=bool)
+    ops = fast_schedule(mask)
+    assert ops[0] == ("r", 3, 0)
+    assert ops[1] == ("i", 0, 8)
+    assert ops[2] == ("f", 0, 9)
+    assert ("z", 2, 12) in ops
+    # ops cover the range exactly, in leaf order
+    covered = [lo + q for kind, s, lo in ops for q in range(1 << s)]
+    assert covered == list(range(16))
+
+
+def _fast_vs_unrolled(mask, n, L, b, use_pallas, bs=16, mode="minsum"):
+    from polar_tpu.models.polar.scan_core import scl_sweep_hybrid_fast
+    frozen = np.where(mask)[0]
+    rng = np.random.default_rng(n * 31 + L + b)
+    llr_logits = rng.normal(0, 3, size=(bs, n)).astype(np.float32)
+    ref = PolarSCLDecoder(frozen, n, list_size=L, mode=mode,
+                          schedule="unrolled", use_fast_scl=True)
+    u_ref = np.asarray(ref(jnp.asarray(llr_logits)))
+    u_all, pm = scl_sweep_hybrid_fast(-jnp.asarray(llr_logits).T, mask, L,
+                                      mode=mode, lower_stages=b,
+                                      use_pallas=use_pallas)
+    sel = np.asarray(pm).argmin(axis=0)
+    info = np.setdiff1d(np.arange(n), frozen)
+    u_fast = np.asarray(u_all)[info][:, sel, np.arange(bs)].T
+    np.testing.assert_array_equal(u_ref.astype(np.int8),
+                                  u_fast.astype(np.int8))
+
+
+@pytest.mark.parametrize("b", [3, 4])
+@pytest.mark.parametrize("mode", ["minsum", "exact"])
+def test_fast_hybrid_equals_unrolled_fast(b, mode):
+    n, k = 256, 100  # 5G ranking yields upper rate-0 nodes at b=3/4
+    frozen, _ = generate_5g_ranking(k, n)
+    mask = np.zeros(n, bool)
+    mask[frozen] = True
+    _fast_vs_unrolled(mask, n, 8, b, use_pallas=False, mode=mode)
+
+
+def test_fast_hybrid_upper_rep_node():
+    """A frozen prefix ending in one info leaf spans several subtrees —
+    the upper repetition fork's parent map must ride the first covered
+    emission for survivor backtracking to stay consistent."""
+    n = 64
+    mask = np.zeros(n, bool)
+    mask[:31] = True   # rep node at stage 5 == 4 subtrees at b=3
+    mask[40] = True
+    _fast_vs_unrolled(mask, n, 8, 3, use_pallas=False)
+
+
+def test_fast_pallas_subtree_equals_unrolled_fast():
+    """The sched_static Pallas kernel (interpret on CPU): rate-0 bulk pm
+    updates and repetition forks inside the fused kernel."""
+    n = 64
+    frozen, _ = generate_5g_ranking(32, n)
+    mask = np.zeros(n, bool)
+    mask[frozen] = True
+    _fast_vs_unrolled(mask, n, 8, 3, use_pallas=True, bs=128)
+
+
+def test_fast_pallas_blocked_subtree_equals_unrolled_fast():
+    n = 64
+    frozen, _ = generate_5g_ranking(32, n)
+    mask = np.zeros(n, bool)
+    mask[frozen] = True
+    _fast_vs_unrolled(mask, n, 16, 3, use_pallas=True, bs=128)
+
+
+def test_scl_decoder_fast_scan_routes_to_pruned_sweep():
+    """PolarSCLDecoder(schedule='scan', use_fast_scl=True) must equal the
+    unrolled fast engine end-to-end (decoder-level wiring)."""
+    n, k, L = 256, 128, 8
+    frozen, _ = generate_5g_ranking(k, n)
+    rng = np.random.default_rng(99)
+    llr = jnp.asarray(rng.normal(0, 3, size=(16, n)), jnp.float32)
+    a = PolarSCLDecoder(frozen, n, list_size=L, schedule="unrolled",
+                        use_fast_scl=True)(llr)
+    b = PolarSCLDecoder(frozen, n, list_size=L, schedule="scan",
+                        use_fast_scl=True)(llr)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
