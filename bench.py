@@ -30,7 +30,7 @@ import polar_tpu as pt
 BASELINE_INFO_BPS = 2690.0  # BASELINE.md: SCL-8 decode+chain, k=512 n=1024
 
 
-def build_step(k, n, L, bs, lower_stages):
+def build_step(k, n, L, bs, lower_stages, fast_scl):
     """Fresh model + fused jitted chain step at the given subtree depth.
     ``lower_stages=None`` -> the VMEM-model auto choice."""
     if lower_stages is None:
@@ -39,7 +39,8 @@ def build_step(k, n, L, bs, lower_stages):
         os.environ["POLAR_TPU_LOWER_STAGES"] = str(lower_stages)
     frozen, _ = pt.generate_5g_ranking(k, n)
     enc = pt.PolarEncoder(frozen, n)
-    dec = pt.PolarSCLDecoder(frozen, n, list_size=L)
+    dec = pt.PolarSCLDecoder(frozen, n, list_size=L,
+                             use_fast_scl=fast_scl)
     model = pt.SystemAWGNModel(n, k, enc, dec)
     from polar_tpu.sim import count_errors
 
@@ -60,20 +61,26 @@ def main():
     bs = int(os.environ.get("BENCH_BS", "8192"))
     iters = int(os.environ.get("BENCH_ITERS", "24"))
 
-    # config ladder: auto (VMEM model) first, then smaller fused subtrees,
-    # finally the scan engine's XLA default — never die on one bad config
+    # config ladder: fast-SCL (Hashemi-pruned schedule, the reference
+    # my_sn default) at the VMEM-model auto depth first, then smaller
+    # fused subtrees, then the plain (non-pruned) engine — never die on
+    # one bad config. BENCH_FAST_SCL=0 pins the plain engine.
     env_b = os.environ.get("POLAR_TPU_LOWER_STAGES")
-    ladder = ([int(env_b)] if env_b is not None else [None]) + [8, 7, 5]
+    bees = [int(env_b)] if env_b is not None else [None]
+    fast_default = os.environ.get("BENCH_FAST_SCL", "1") != "0"
+    ladder = [(f, b) for f in ([True, False] if fast_default else [False])
+              for b in bees + [8, 7, 5]]
     step = dec = None
-    for b_cfg in ladder:
+    for fast_cfg, b_cfg in ladder:
         try:
-            step, dec = build_step(k, n, L, bs, b_cfg)
+            step, dec = build_step(k, n, L, bs, b_cfg, fast_cfg)
             # compile + warmup (excluded from timing)
             float(step(jax.random.PRNGKey(0), jnp.float32(2.0)))
             break
         except Exception as e:  # compile OOM / Mosaic error: step down
-            print(f"# bench config lower_stages={b_cfg} failed: "
-                  f"{type(e).__name__}: {str(e)[:300]}", file=sys.stderr)
+            print(f"# bench config fast={fast_cfg} lower_stages={b_cfg} "
+                  f"failed: {type(e).__name__}: {str(e)[:300]}",
+                  file=sys.stderr)
             step = dec = None
     if step is None:
         print(json.dumps({
@@ -114,7 +121,8 @@ def _diagnostics(step, dec, n, k, L, bs, iters, dt, errs, bits):
     # diagnostics to stderr only (keep stdout one-line)
     print(f"# device={jax.devices()[0]} bs={bs} iters={iters} "
           f"time={dt:.3f}s ber@2dB={errs / bits:.4f} "
-          f"schedule={dec.schedule}", file=sys.stderr)
+          f"schedule={dec.schedule} fast_scl={dec.use_fast_scl}",
+          file=sys.stderr)
 
     # ops/roofline meter (SURVEY section 5 row 1): closed-form decode op
     # count + XLA's own cost analysis of the full jitted chain step
