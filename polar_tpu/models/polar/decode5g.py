@@ -25,7 +25,8 @@ class Polar5GDecoder:
 
     def __init__(self, enc_polar: Polar5GEncoder, dec_type: str = "SC",
                  list_size: int = 8, return_crc_status: bool = False,
-                 mode: str = "minsum", output_dtype=jnp.float32):
+                 mode: str = "minsum", use_fast_scl=None,
+                 output_dtype=jnp.float32):
         assert isinstance(enc_polar, Polar5GEncoder)
         self._output_dtype = output_dtype
         self._n_target = enc_polar.n_target
@@ -65,7 +66,7 @@ class Polar5GDecoder:
             self._polar_dec = PolarSCLDecoder(
                 enc_polar._frozen_pos, self._n_polar, list_size=list_size,
                 crc_degree=crc_degree, mode=mode, ind_iil_inv=iil_inv,
-                pc_pos=pc_pos)
+                pc_pos=pc_pos, use_fast_scl=use_fast_scl)
         elif dec_type == "hybSCL":
             # SC-first CA-SCL (the reference's _decode_np_hybrid algorithm,
             # my_sn/fec/polar/dec.py:437-470, which it force-disables at
@@ -76,7 +77,8 @@ class Polar5GDecoder:
             self._polar_dec = HybridSCLDecoder(
                 enc_polar._frozen_pos, self._n_polar, list_size=list_size,
                 crc_degree=crc_degree, mode=mode, ind_iil_inv=iil_inv,
-                pc_pos=getattr(enc_polar, "pc_pos", None))
+                pc_pos=getattr(enc_polar, "pc_pos", None),
+                use_fast_scl=use_fast_scl)
         else:
             raise ValueError("Unknown value for dec_type.")
 

@@ -50,7 +50,7 @@ class HybridSCLDecoder:
                  llr_max: float = 30.0, ind_iil_inv=None,
                  schedule: str = "auto", return_crc_status: bool = False,
                  min_capacity: int = 128, pc_pos=None,
-                 output_dtype=jnp.float32):
+                 use_fast_scl=None, output_dtype=jnp.float32):
         if crc_degree is None:
             raise ValueError("hybrid SC/SCL decoding requires crc_degree "
                              "(the SC accept test is the CRC).")
@@ -60,7 +60,7 @@ class HybridSCLDecoder:
                                     crc_degree=crc_degree, mode=mode,
                                     llr_max=llr_max, ind_iil_inv=ind_iil_inv,
                                     schedule=schedule, return_crc_status=True,
-                                    pc_pos=pc_pos)
+                                    pc_pos=pc_pos, use_fast_scl=use_fast_scl)
         self.n = self._sc.n
         self.k = self._sc.k
         self.frozen_pos = self._sc.frozen_pos

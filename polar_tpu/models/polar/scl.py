@@ -72,7 +72,8 @@ class PolarSCLDecoder:
                 frozen_pos, n, list_size=list_size, crc_degree=crc_degree,
                 mode=mode, llr_max=llr_max, ind_iil_inv=ind_iil_inv,
                 schedule=schedule, return_crc_status=return_crc_status,
-                pc_pos=pc_pos, output_dtype=output_dtype)
+                pc_pos=pc_pos, use_fast_scl=use_fast_scl,
+                output_dtype=output_dtype)
         self.requires_host = use_hybrid_sc
         self.n = n
         self._S = int(np.log2(n))
