@@ -209,3 +209,43 @@ def test_sc_sweep_pallas_equals_xla():
         u = jax.jit(lambda: sc_sweep_hybrid(llr, mask, use_pallas=up))()
         outs.append(np.asarray(u))
     np.testing.assert_array_equal(outs[0], outs[1])
+
+
+@pytest.mark.parametrize("L", [8, 16])
+def test_fast_scl_sweep_pallas_equals_xla(L):
+    """Compiled fast-SCL (sched_static Pallas kernels) == the XLA fast
+    mirror, both compiled on the chip. The XLA mirror is bit-identical to
+    the unrolled use_fast_scl=True engine (tests/test_scan.py), so this
+    transitively pins the pruned kernels to the reference-default
+    fast-SCL semantics."""
+    _tpu_or_skip()
+    from polar_tpu.models.polar.scan_core import scl_sweep_hybrid_fast
+    from polar_tpu.models.polar.construction import generate_5g_ranking
+    n, k, bs = 1024, 512, 256
+    frozen, _ = generate_5g_ranking(k, n)
+    mask = np.zeros(n, dtype=bool)
+    mask[frozen] = True
+    rng = np.random.default_rng(11)
+    llr = jnp.asarray(rng.normal(0, 4, size=(n, bs)).astype(np.float32))
+    outs = []
+    for up in (True, False):
+        u, pm = jax.jit(lambda up=up: scl_sweep_hybrid_fast(
+            llr, mask, L, mode="minsum", use_pallas=up))()
+        outs.append((np.asarray(u), np.asarray(pm)))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    np.testing.assert_array_equal(outs[0][1], outs[1][1])
+
+
+def test_fast_bench_chain_cold_compiles(cold_compile_cache, monkeypatch):
+    """The fast-SCL bench program (bench.py's FIRST ladder config:
+    use_fast_scl=True, VMEM-model auto depth, bs=8192) must compile with
+    no cache."""
+    _tpu_or_skip()
+    monkeypatch.delenv("POLAR_TPU_LOWER_STAGES", raising=False)
+    from polar_tpu.models.polar.scl import PolarSCLDecoder
+    from polar_tpu.models.polar.construction import generate_5g_ranking
+    n, k, bs = 1024, 512, 8192
+    frozen, _ = generate_5g_ranking(k, n)
+    dec = PolarSCLDecoder(frozen, n, list_size=8, use_fast_scl=True)
+    llr = jax.ShapeDtypeStruct((bs, n), jnp.float32)
+    dec._jit_decode.lower(llr).compile()
