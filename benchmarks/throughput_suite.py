@@ -109,6 +109,14 @@ def main():
                         pt.PolarSCLDecoder(frozen1k, 1024, list_size=Lbig),
                         2.0, 2048))
 
+    # fast-SCL (Hashemi rate-0/rep pruned schedule, the reference my_sn
+    # default): same chains through scan_core.scl_sweep_hybrid_fast
+    for Lf, bsf in ((8, 8192), (16, 2048), (32, 2048)):
+        configs.append((f"scl{Lf}_n1024_fast", 512, 1024, enc1k,
+                        pt.PolarSCLDecoder(frozen1k, 1024, list_size=Lf,
+                                           use_fast_scl=True),
+                        2.0, bsf))
+
     # OSD-2 on a (64, 128) code (VERDICT r2 task 4): codeword-estimate
     # chain (cw_estimates=True); 2144 patterns swept by the padded scan
     from polar_tpu.models.osd import OSDecoder
