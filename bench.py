@@ -127,7 +127,8 @@ def _diagnostics(step, dec, n, k, L, bs, iters, dt, errs, bits):
     # ops/roofline meter (SURVEY section 5 row 1): closed-form decode op
     # count + XLA's own cost analysis of the full jitted chain step
     from polar_tpu.utils.profiling import decode_complexity, complexity_line
-    comp = decode_complexity(n, k, L)
+    comp = decode_complexity(n, k, L, frozen_mask=dec._frozen_mask,
+                             fast=dec.use_fast_scl)
     print(complexity_line(f"SCL-{L}", comp), file=sys.stderr)
     try:
         analysis = step.lower(jax.random.PRNGKey(0),

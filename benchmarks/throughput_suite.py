@@ -131,7 +131,9 @@ def main():
     dec5 = pt.Polar5GDecoder(enc5, dec_type="SCL", list_size=8)
     configs.append(("5g_cascl8_k400_n1000", 400, 1000, enc5, dec5))
     # hybrid SC-first CA-SCL: same chain, SCL only on CRC failures
-    dec5h = pt.Polar5GDecoder(enc5, dec_type="hybSCL", list_size=8)
+    # (fast-SCL re-decode — the hybrid path is serving-oriented)
+    dec5h = pt.Polar5GDecoder(enc5, dec_type="hybSCL", list_size=8,
+                              use_fast_scl=True)
     configs.append(("5g_hybscl8_k400_n1000", 400, 1000, enc5, dec5h,
                     2.0, 32768))
 
@@ -153,7 +155,8 @@ def main():
 
         def __init__(self, ebno=None):
             self._hyb = pt.HybridSCLDecoder(frozen_h, n_h, list_size=8,
-                                            crc_degree="CRC11")
+                                            crc_degree="CRC11",
+                                            use_fast_scl=True)
 
         def __call__(self, llr):
             return self._hyb(llr)[..., :k_h - crc_len]

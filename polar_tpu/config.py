@@ -32,6 +32,8 @@ class PolarConfig:
     num_devices: int = 0       # 0 = all local devices (data-parallel MC)
     target_block_errs: int = 1000
     bp_iter: int = 20          # BP decoder iterations (algos=[...,bp])
+    fast_scl: bool = False     # Hashemi rate-0/rep pruned SCL schedule
+    # (the my_sn reference default; the CLI-reference x_run SCL is plain)
     design_snr: float = 2.0    # design Eb/N0 (dB) for --construction ga
     plot_dir: str = "plots"
 

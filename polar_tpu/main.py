@@ -49,7 +49,8 @@ def gen_code(c: PolarConfig, name: str, mode: str = "sc"):
     if mode == "sc":
         dec = PolarSCDecoder(frozen_pos, c.n, mode=f_mode)
     elif mode == "scl":
-        dec = PolarSCLDecoder(frozen_pos, c.n, c.list_size, mode=f_mode)
+        dec = PolarSCLDecoder(frozen_pos, c.n, c.list_size, mode=f_mode,
+                              use_fast_scl=c.fast_scl or None)
     elif mode == "bp":
         dec = PolarBPDecoder(frozen_pos, c.n, num_iter=c.bp_iter,
                              mode=f_mode)
@@ -82,7 +83,11 @@ def main(c: PolarConfig = None):
             comp = bp_complexity(c.n, c.k, c.bp_iter)
         else:
             L = c.list_size if name.startswith("SCL") else 1
-            comp = decode_complexity(c.n, c.k, L)
+            dec = model.decoder
+            fast = bool(getattr(dec, "use_fast_scl", False)) and L > 1
+            comp = decode_complexity(
+                c.n, c.k, L, fast=fast,
+                frozen_mask=getattr(dec, "_frozen_mask", None))
         print(complexity_line(name, comp))
         ber_plot.simulate(
             model, ebno_dbs=ebno_db, batch_size=c.bs,

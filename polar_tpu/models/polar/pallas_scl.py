@@ -35,7 +35,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from polar_tpu.ops.fg import F_FUNCTIONS, g as g_op
-from polar_tpu.models.polar.scan_core import leaf_schedule
 
 _BIG = 3.0e38  # plain float: jnp constants would be captured by the kernel
 
@@ -511,44 +510,76 @@ def _subtree_kernel_blocked(*refs, b, L, llr_max, mode, frz_static=None,
         pmo_ref[8 * h:8 * h + 8, :] = pm[h]
 
 
-def _sc_subtree_kernel(frz_ref, a_ref, cw_ref, lloc, uloc, *, b, llr_max,
-                       mode):
+def _sc_subtree_kernel(*refs, b, llr_max, mode, sched_static=None):
     """SC specialization: no list dimension, no forks — a pure unrolled
     descent/rise sweep over VMEM workspaces with branchless frozen
     decisions. ``a_ref``: [2^b, TB] stage-b LLRs -> ``cw_ref`` [2^b, TB]
-    int32 subtree codeword."""
+    int32 subtree codeword.
+
+    ``sched_static`` (from ``scan_core.fast_schedule(mask, rep=False)``)
+    prunes rate-0 nodes: an all-frozen span's partial sums are all-zero
+    REGARDLESS of its LLRs, so skipping its descent/rise is bit-identical
+    to the plain sweep (unlike SCL there is no path metric to update)."""
+    if sched_static is None:
+        frz_ref, a_ref, cw_ref, lloc, uloc = refs
+        sched = tuple(("t", 0, i) for i in range(1 << b))
+    else:
+        a_ref, cw_ref, lloc, uloc = refs
+        sched = sched_static
     f = F_FUNCTIONS[mode]
-    w_sub = 1 << b
+    TB = a_ref.shape[-1]
     off = lambda s: (1 << s) - 1
-    _, dsub, rsub = leaf_schedule(w_sub)
     clip = lambda x: jnp.clip(x, -llr_max, llr_max)
 
     # stage-b LLRs read straight from the input block (no scratch copy —
     # halves the workspace, doubling the VMEM-legal batch tile)
-    for i in range(w_sub):
-        d, r = int(dsub[i]), int(rsub[i])
-        if i == 0:
-            cur = a_ref[:]
-            for s in range(b, 0, -1):
-                h = 1 << (s - 1)
-                cur = f(cur[:h], cur[h:], llr_max)
-                lloc[off(s - 1):off(s)] = cur
+    for kind, s_nd, lo in sched:
+        w_nd = 1 << s_nd
+        i_end = lo + w_nd - 1
+        # ---- descent to the node root. A rate-0 node needs no value at
+        # its root (zero sums regardless of LLRs), but the pass-through
+        # STORES above the root still feed later g-reads, so the descent
+        # stops at stage s_nd + 1 for 'z' (and is skipped outright when
+        # the g-entry lands at or below the root). Other nodes descend to
+        # the root; the root value is consumed directly, never stored. ----
+        stop = s_nd + 1 if kind == "z" else s_nd
+        cur = None
+        if lo == 0:
+            if b > stop or kind != "z":
+                cur = a_ref[:]
+                for s in range(b, stop, -1):
+                    h = 1 << (s - 1)
+                    cur = f(cur[:h], cur[h:], llr_max)
+                    if s - 1 > s_nd:
+                        lloc[off(s - 1):off(s)] = cur
         else:
-            seg = (a_ref[:] if d + 1 == b
-                   else lloc[off(d + 1):off(d + 2)])
-            h = 1 << d
-            cur = g_op(seg[:h], seg[h:], uloc[off(d):off(d + 1)])
-            lloc[off(d):off(d + 1)] = cur
-            for s in range(d, 0, -1):
-                h = 1 << (s - 1)
-                cur = f(cur[:h], cur[h:], llr_max)
-                lloc[off(s - 1):off(s)] = cur
-        frz_i = frz_ref[i] != 0
-        # frozen -> 0; else hard decision (0-LLR tie -> bit 1)
-        ubit = jnp.where(frz_i, jnp.zeros_like(cur, dtype=jnp.int32),
-                         (cur <= 0).astype(jnp.int32))
+            d = _ctz(lo)
+            if d >= stop:
+                seg = (a_ref[:] if d + 1 == b
+                       else lloc[off(d + 1):off(d + 2)])
+                h = 1 << d
+                cur = g_op(seg[:h], seg[h:], uloc[off(d):off(d + 1)])
+                if d > s_nd:
+                    lloc[off(d):off(d + 1)] = cur
+                for s in range(d, stop, -1):
+                    h = 1 << (s - 1)
+                    cur = f(cur[:h], cur[h:], llr_max)
+                    if s - 1 > s_nd:
+                        lloc[off(s - 1):off(s)] = cur
+        if kind == "z":
+            ubit = jnp.zeros((w_nd, TB), jnp.int32)
+        elif kind == "f":
+            ubit = jnp.zeros((1, TB), jnp.int32)
+        elif kind == "i":
+            ubit = (cur <= 0).astype(jnp.int32)  # 0-LLR tie -> bit 1
+        else:  # 't': traced frozen-ness
+            frz_i = frz_ref[lo] != 0
+            ubit = jnp.where(frz_i,
+                             jnp.zeros_like(cur, dtype=jnp.int32),
+                             (cur <= 0).astype(jnp.int32))
         cur_u = ubit
-        for s in range(min(r, b)):
+        r = _cto(i_end)
+        for s in range(s_nd, min(r, b)):
             cur_u = jnp.concatenate(
                 [uloc[off(s):off(s + 1)] ^ cur_u, cur_u], axis=0)
         if r >= b:
@@ -558,11 +589,15 @@ def _sc_subtree_kernel(frz_ref, a_ref, cw_ref, lloc, uloc, *, b, llr_max,
 
 
 @functools.partial(jax.jit, static_argnames=("b", "llr_max", "mode",
-                                             "interpret", "tile"))
+                                             "interpret", "tile",
+                                             "sched_static"))
 def sc_subtree_pallas(a, frz, *, b, llr_max, mode, interpret=False,
-                      tile=None):
+                      tile=None, sched_static=None):
     """Fused SC subtree. ``a``: [2^b, bs] f32 stage-b LLRs, ``frz``:
-    [2^b] int32 -> cw [2^b, bs] int32."""
+    [2^b] int32 (pass None with ``sched_static``) -> cw [2^b, bs] int32.
+
+    ``sched_static`` (from ``scan_core.fast_schedule(mask, rep=False)``)
+    compiles the rate-0-pruned sweep — bit-identical to the plain one."""
     w_sub, bs = a.shape
     assert w_sub == (1 << b)
     W = (1 << b) - 1  # stages 0..b-1; stage b reads the input block
@@ -580,13 +615,19 @@ def sc_subtree_pallas(a, frz, *, b, llr_max, mode, interpret=False,
     TB = min(TB, bs)
     assert bs % TB == 0
     kern = functools.partial(_sc_subtree_kernel, b=b,
-                             llr_max=float(llr_max), mode=mode)
+                             llr_max=float(llr_max), mode=mode,
+                             sched_static=sched_static)
     bspec = pl.BlockSpec((w_sub, TB), lambda i: (0, i),
                          memory_space=pltpu.VMEM)
+    in_specs = [bspec]
+    inputs = (a,)
+    if sched_static is None:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+        inputs = (frz, a)
     return pl.pallas_call(
         kern,
         grid=(bs // TB,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), bspec],
+        in_specs=in_specs,
         out_specs=bspec,
         out_shape=jax.ShapeDtypeStruct((w_sub, bs), jnp.int32),
         scratch_shapes=[
@@ -596,7 +637,7 @@ def sc_subtree_pallas(a, frz, *, b, llr_max, mode, interpret=False,
         compiler_params=(None if vlim is None
                          else pltpu.CompilerParams(vmem_limit_bytes=vlim)),
         interpret=interpret,
-    )(frz, a)
+    )(*inputs)
 
 
 # ----------------------------------------------------------------------

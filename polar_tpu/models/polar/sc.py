@@ -135,10 +135,16 @@ class PolarSCDecoder:
                 and self.pc_pos is None
                 and self.n <= self.FULL_FUSE_MAX_N and bs % 128 == 0):
             from polar_tpu.models.polar.pallas_scl import sc_subtree_pallas
+            from polar_tpu.models.polar.scan_core import fast_schedule
             S = int(np.log2(self.n))
+            # static rate-0-pruned schedule: all-frozen spans emit zero
+            # partial sums regardless of their LLRs, so the pruned sweep
+            # is bit-identical to the plain one (rep=False: repetition
+            # shortcuts would NOT be — SC decides leaves individually)
+            sched = tuple(fast_schedule(self._frozen_mask, rep=False))
             cw = sc_subtree_pallas(
-                llr, jnp.asarray(self._frozen_mask.astype(np.int32)),
-                b=S, llr_max=self.llr_max, mode=self.mode)
+                llr, None, b=S, llr_max=self.llr_max, mode=self.mode,
+                sched_static=sched)
             # the kernel emits the codeword (stage-S partial sums); the
             # decisions are its polar transform (involution)
             u = polar_transform(cw.astype(jnp.int8), axis=0)

@@ -73,7 +73,7 @@ def leaf_schedule(n: int):
     return S, desc, rise
 
 
-def fast_schedule(frozen_mask):
+def fast_schedule(frozen_mask, rep: bool = True):
     """Fast-SCL pruned node schedule (Hashemi rate-0 / repetition), exactly
     mirroring the unrolled engine's recursion (scl.py _node: a node at
     stage >= 1 prunes if its whole span is frozen — Eq. 26 bulk PM update —
@@ -84,6 +84,10 @@ def fast_schedule(frozen_mask):
         ('r', s, lo)  repetition node
         ('f', 0, lo)  frozen leaf
         ('i', 0, lo)  info leaf
+
+    ``rep=False`` emits only rate-0 prunes — for SC, where a rate-0 node's
+    partial sums are all-zero regardless of its LLRs, so the pruned sweep
+    is bit-identical to the plain one (repetition shortcuts would not be).
     """
     mask = np.asarray(frozen_mask, dtype=bool)
     n = len(mask)
@@ -94,7 +98,7 @@ def fast_schedule(frozen_mask):
         seg = mask[lo:lo + w]
         if s >= 1 and seg.all():
             ops.append(("z", s, lo))
-        elif s >= 1 and not seg[-1] and seg[:-1].all():
+        elif rep and s >= 1 and not seg[-1] and seg[:-1].all():
             ops.append(("r", s, lo))
         elif s == 0:
             ops.append(("f" if seg[0] else "i", 0, lo))
@@ -514,6 +518,14 @@ def sc_sweep_hybrid(llr_ch, frozen_mask, mode: str = "minsum",
         if use_pallas:
             from polar_tpu.models.polar.pallas_scl import sc_subtree_pallas
             interp = jax.default_backend() == "cpu"
+            if isinstance(frz, np.ndarray):
+                # static frozen set (unrolled outer): rate-0-pruned
+                # schedule, bit-identical to the plain sweep
+                return sc_subtree_pallas(
+                    a, None, b=b, llr_max=float(llr_max), mode=mode,
+                    interpret=interp,
+                    sched_static=tuple(fast_schedule(frz, rep=False))
+                ).astype(jnp.int8)
             return sc_subtree_pallas(
                 a, jnp.asarray(frz).astype(jnp.int32), b=b,
                 llr_max=float(llr_max), mode=mode,

@@ -41,20 +41,51 @@ class DecodeComplexity:
         return d
 
 
-def decode_complexity(n: int, k: int, list_size: int = 1) -> DecodeComplexity:
-    """Closed-form op counts of one SC/SCL decode (no fast-SCL pruning).
+def decode_complexity(n: int, k: int, list_size: int = 1,
+                      frozen_mask=None, fast: bool = False
+                      ) -> DecodeComplexity:
+    """Closed-form op counts of one SC/SCL decode.
 
-    Each of the ``log2(n)`` stages processes ``n/2`` f-elements and ``n/2``
-    g-elements per path; every leaf costs one PM update per path and every
-    info leaf one top-2L selection.
+    Plain schedule: each of the ``log2(n)`` stages processes ``n/2``
+    f-elements and ``n/2`` g-elements per path; every leaf costs one PM
+    update per path and every info leaf one top-2L selection.
+
+    ``fast=True`` (requires ``frozen_mask``) counts the Hashemi
+    rate-0/repetition pruned schedule actually executed by
+    ``use_fast_scl=True`` engines — descent/rise below pruned node roots
+    vanishes, rate-0 nodes cost one softplus per element, repetition
+    nodes one two-candidate fork.
     """
     S = int(np.log2(n))
     L = int(list_size)
-    half = (n // 2) * S
+    if not fast:
+        half = (n // 2) * S
+        return DecodeComplexity(
+            n=n, k=k, list_size=L,
+            f_ops=half * L, g_ops=half * L, xor_ops=half * L,
+            pm_ops=n * L, sort_ops=k if L > 1 else 0)
+    assert frozen_mask is not None, "fast complexity needs the frozen mask"
+    from polar_tpu.models.polar.scan_core import fast_schedule, _ctz, _cto
+    f_ops = g_ops = xor_ops = pm_ops = sort_ops = 0
+    for kind, s_nd, lo in fast_schedule(frozen_mask):
+        d = S if lo == 0 else _ctz(lo)
+        if lo != 0:
+            g_ops += 1 << d
+        f_ops += (1 << d) - (1 << s_nd)     # sum 2^(d-1)..2^s_nd
+        i_end = lo + (1 << s_nd) - 1
+        r = _cto(i_end)
+        xor_ops += (1 << min(r, S)) - (1 << s_nd)
+        if kind == "z":
+            pm_ops += 1 << s_nd
+        elif kind == "f":
+            pm_ops += 1
+        else:
+            pm_ops += 2 * (1 << s_nd)       # both polarities
+            sort_ops += 1
     return DecodeComplexity(
         n=n, k=k, list_size=L,
-        f_ops=half * L, g_ops=half * L, xor_ops=half * L,
-        pm_ops=n * L, sort_ops=k if L > 1 else 0)
+        f_ops=f_ops * L, g_ops=g_ops * L, xor_ops=xor_ops * L,
+        pm_ops=pm_ops * L, sort_ops=sort_ops if L > 1 else 0)
 
 
 def bp_complexity(n: int, k: int, num_iter: int) -> DecodeComplexity:

@@ -233,6 +233,27 @@ def test_fast_pallas_blocked_subtree_equals_unrolled_fast():
     _fast_vs_unrolled(mask, n, 16, 3, use_pallas=True, bs=128)
 
 
+def test_sc_rate0_pruned_kernel_equals_plain():
+    """The SC whole-tree kernel's rate-0-pruned schedule (rep=False) must
+    be bit-identical to the plain traced sweep — an all-frozen span's
+    partial sums are zero regardless of its LLRs."""
+    from polar_tpu.models.polar.scan_core import fast_schedule, sc_sweep
+    from polar_tpu.models.polar.pallas_scl import sc_subtree_pallas
+    from polar_tpu.ops.butterfly import polar_transform
+    n, k = 256, 100
+    frozen, _ = generate_5g_ranking(k, n)
+    mask = np.zeros(n, bool)
+    mask[frozen] = True
+    rng = np.random.default_rng(41)
+    llr = jnp.asarray(rng.normal(0, 3, (n, 128)), jnp.float32)
+    sched = tuple(fast_schedule(mask, rep=False))
+    assert any(op[0] == "z" for op in sched)
+    cw = sc_subtree_pallas(llr, None, b=8, llr_max=30.0, mode="minsum",
+                           interpret=True, sched_static=sched)
+    u = np.asarray(polar_transform(cw.astype(jnp.int8), axis=0))
+    np.testing.assert_array_equal(u, np.asarray(sc_sweep(llr, mask)))
+
+
 def test_scl_decoder_fast_scan_routes_to_pruned_sweep():
     """PolarSCLDecoder(schedule='scan', use_fast_scl=True) must equal the
     unrolled fast engine end-to-end (decoder-level wiring)."""

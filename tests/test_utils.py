@@ -47,6 +47,25 @@ def test_decode_complexity():
     assert decode_complexity(64, 32, 1).sort_ops == 0
 
 
+def test_decode_complexity_fast():
+    import numpy as np
+    from polar_tpu.models.polar.construction import generate_5g_ranking
+    frozen, _ = generate_5g_ranking(32, 64)
+    mask = np.zeros(64, bool)
+    mask[frozen] = True
+    plain = decode_complexity(64, 32, 8)
+    fast = decode_complexity(64, 32, 8, frozen_mask=mask, fast=True)
+    # pruning removes descent/rise work below rate-0/rep roots
+    assert fast.f_ops < plain.f_ops
+    assert fast.xor_ops < plain.xor_ops
+    # every fork is an info leaf or a repetition node; reps absorb >= 0
+    assert 0 < fast.sort_ops <= plain.sort_ops
+    # an all-info code has nothing to prune: plain and fast agree on f/g
+    nomask = np.zeros(64, bool)
+    allinfo = decode_complexity(64, 64, 8, frozen_mask=nomask, fast=True)
+    assert allinfo.f_ops == plain.f_ops and allinfo.g_ops == plain.g_ops
+
+
 def test_flop_estimate_runs():
     est = flop_estimate(lambda x: jnp.dot(x, x), jnp.ones((64, 64)))
     assert est > 0 or np.isnan(est)  # backend-dependent availability
