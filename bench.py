@@ -60,6 +60,14 @@ def main():
     # 10.3M bit/s @1024, 16.6M @4096, 17.0M @8192; 16384+ regress)
     bs = int(os.environ.get("BENCH_BS", "8192"))
     iters = int(os.environ.get("BENCH_ITERS", "24"))
+    if pt.TPU_RELAY_FALLBACK:
+        # TPU relay down -> the import-time preflight pinned CPU; keep the
+        # run honest but bounded (a CPU number with rc=0 beats a hang)
+        bs = min(bs, int(os.environ.get("BENCH_CPU_BS", "256")))
+        iters = min(iters, 4)
+        os.environ.setdefault("POLAR_TPU_LOWER_STAGES", "3")
+        print(f"# TPU relay down: CPU fallback bench (bs={bs}, "
+              f"iters={iters})", file=sys.stderr)
 
     # config ladder: fast-SCL (Hashemi-pruned schedule, the reference
     # my_sn default) at the VMEM-model auto depth first, then smaller

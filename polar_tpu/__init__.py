@@ -16,6 +16,40 @@ encoders/decoders are lightweight objects built on host whose ``__call__``
 is a pure, jittable function.
 """
 
+import os as _os
+
+
+def _axon_relay_preflight() -> bool:
+    """Fail over to CPU when the axon TPU relay is unreachable.
+
+    In this container the TPU is reached through a local relay
+    (127.0.0.1:8083); the axon PJRT plugin registered at interpreter boot
+    blocks FOREVER on first backend initialization when that relay is
+    down. Probe the socket once at import time and, if unreachable, pin
+    jax to CPU (loudly) so CLI runs, benches, and driver compile checks
+    degrade to a slow-but-correct CPU run instead of hanging.
+    """
+    if not _os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return False  # no axon plugin in this environment
+    if _os.environ.get("POLAR_TPU_SKIP_RELAY_PREFLIGHT") == "1":
+        return False
+    import socket
+    try:
+        socket.create_connection(("127.0.0.1", 8083), timeout=5).close()
+        return False
+    except OSError:
+        import sys
+
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        print("polar_tpu: axon TPU relay 127.0.0.1:8083 unreachable -- "
+              "falling back to the CPU backend", file=sys.stderr)
+        return True
+
+
+#: True when the import-time probe found the TPU relay down and pinned CPU.
+TPU_RELAY_FALLBACK = _axon_relay_preflight()
+
 from polar_tpu.ops.ebno import ebnodb2no
 from polar_tpu.ops.source import BinarySource, binary_source
 from polar_tpu.ops.mapping import Constellation, QamConstell, Mapper, Demapper, SymbolLogits2LLRs
