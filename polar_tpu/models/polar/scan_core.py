@@ -747,11 +747,18 @@ def scl_sweep_hybrid(llr_ch, frozen_mask, list_size: int,
     def run_subtree(carry, a, frz):
         """frz may be a traced array (scan path) or static numpy (unrolled
         outer) — static frozen sets compile a code-specialized kernel
-        where frozen leaves cost only a pm update (pallas_scl)."""
+        where frozen leaves cost only a pm update (pallas_scl).
+
+        ``POLAR_TPU_TRACED_KERNEL=1`` forces the traced (frz-in-SMEM)
+        kernel even on the unrolled outer: one generic executable instead
+        of a per-frozen-set specialization. Bit-identical but ~30% slower;
+        its Mosaic compile is minutes faster cold, which is what a
+        compile-time-budgeted cold environment (the driver bench) needs."""
+        force_traced = os.environ.get("POLAR_TPU_TRACED_KERNEL") == "1"
         if use_pallas:
             from polar_tpu.models.polar.pallas_scl import subtree_pallas
             interp = jax.default_backend() == "cpu"
-            if isinstance(frz, np.ndarray):
+            if isinstance(frz, np.ndarray) and not force_traced:
                 cw32, Pj, pm = subtree_pallas(
                     a, None, carry[I_PM], b=b, L=L, llr_max=float(llr_max),
                     mode=mode, interpret=interp,
