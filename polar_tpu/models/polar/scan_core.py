@@ -395,13 +395,14 @@ def resolve_lower_stages(S: int, bs: int, use_pallas: bool,
         # n=1024 (benchmarks/throughput.json). Explicit overrides (env or
         # lower_stages=) skip this cap.
         cap = min(cap, BLOCKED_B_CAP)
+    vlim = pk._vmem_limit_override()  # POLAR_TPU_VMEM_LIMIT_MIB, if set
     for b in range(min(cap, S - 1), 0, -1):
         # SC budgets 2.2x for the Mosaic stack spill (see sc_subtree_pallas)
         bytes_fn = ((lambda t: int(2.2 * pk.sc_vmem_bytes(b, t)))
                     if L is None
                     else (lambda t: pk.scl_vmem_bytes(b, L, t)))
         try:
-            pk.fit_tile(bs, bytes_fn)
+            pk.fit_tile(bs, bytes_fn, vmem_limit=vlim)
             return b
         except ValueError:
             continue
