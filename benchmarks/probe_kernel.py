@@ -34,7 +34,10 @@ def main():
                     help="batch tile (0 = fit_tile auto)")
     ap.add_argument("--fast", type=int, default=1,
                     help="1 = rate-0-pruned static schedule (the new body),"
-                         " 0 = traced frozen-set body (the round-2 body)")
+                         " 0 = static frozen-set body (unpruned)")
+    ap.add_argument("--traced", type=int, default=0,
+                    help="1 = generic traced frz-in-SMEM body (the cold-"
+                         "cache bench ladder leader); overrides --fast")
     ap.add_argument("--vmem_mib", type=int, default=0,
                     help="raise the Mosaic scoped-VMEM limit (MiB)")
     ap.add_argument("--run", type=int, default=0,
@@ -49,7 +52,8 @@ def main():
         os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)
 
     out = {"ok": False, "kind": args.kind, "b": args.b, "tile": args.tile,
-           "bs": args.bs, "fast": args.fast, "vmem_mib": args.vmem_mib}
+           "bs": args.bs, "fast": args.fast, "traced": args.traced,
+           "vmem_mib": args.vmem_mib}
     try:
         import numpy as np
         import jax
@@ -58,6 +62,7 @@ def main():
         from polar_tpu.models.polar import pallas_scl as pk
         from polar_tpu.models.polar.scan_core import fast_schedule
 
+        interp = jax.default_backend() == "cpu"  # CPU smoke runs interpret
         n = 1 << args.b
         k = n // 2
         frozen, _ = pt.generate_5g_ranking(k, n)
@@ -67,12 +72,12 @@ def main():
         t0 = time.perf_counter()
         if args.kind == "sc":
             sched = (tuple(fast_schedule(mask, rep=False))
-                     if args.fast else None)
-            frz = (None if args.fast
+                     if args.fast and not args.traced else None)
+            frz = (None if sched is not None
                    else jnp.asarray(mask.astype(np.int32)))
             fn = lambda a: pk.sc_subtree_pallas(
                 a, frz, b=args.b, llr_max=30.0, mode="minsum",
-                tile=tile, sched_static=sched)
+                tile=tile, sched_static=sched, interpret=interp)
             a_s = jax.ShapeDtypeStruct((n, args.bs), jnp.float32)
             compiled = jax.jit(fn).lower(a_s).compile()
             out["compile_s"] = round(time.perf_counter() - t0, 1)
@@ -87,14 +92,19 @@ def main():
                 out["run_ms"] = round(
                     (time.perf_counter() - t1) / 8 * 1e3, 3)
         else:
-            sched = (tuple(fast_schedule(mask, rep=True))
-                     if args.fast else None)
-            frz_static = (None if args.fast
-                          else tuple(int(x) for x in mask))
+            if args.traced:
+                sched, frz_static = None, None
+                frz_arr = jnp.asarray(mask.astype(np.int32))
+            else:
+                sched = (tuple(fast_schedule(mask, rep=True))
+                         if args.fast else None)
+                frz_static = (None if args.fast
+                              else tuple(int(x) for x in mask))
+                frz_arr = None
             fn = lambda a, pm: pk.subtree_pallas(
-                a, None, pm, b=args.b, L=args.L, llr_max=30.0,
+                a, frz_arr, pm, b=args.b, L=args.L, llr_max=30.0,
                 mode="minsum", tile=tile, frz_static=frz_static,
-                sched_static=sched)
+                sched_static=sched, interpret=interp)
             a_s = jax.ShapeDtypeStruct((n, args.L, args.bs), jnp.float32)
             pm_s = jax.ShapeDtypeStruct((args.L, args.bs), jnp.float32)
             compiled = jax.jit(fn).lower(a_s, pm_s).compile()
