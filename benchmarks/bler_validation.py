@@ -71,9 +71,10 @@ def main():
     ap.add_argument("--bs", type=int, default=4096)
     ap.add_argument("--mc_iter", type=int, default=400)
     ap.add_argument("--chains",
-                    default="k32,northstar,5g,sc_n1024,bp,hybscl8",
-                    help="comma list: k32, northstar, 5g, sc_n1024, bp, "
-                         "hybscl8")
+                    default="k32,northstar,northstar_fast,5g,sc_n1024,"
+                            "bp,hybscl8",
+                    help="comma list: k32, northstar, northstar_fast, 5g, "
+                         "sc_n1024, bp, hybscl8")
     ap.add_argument("--out", default="benchmarks/bler_validation.json")
     args = ap.parse_args()
     chains = set(args.chains.split(","))
@@ -106,6 +107,20 @@ def main():
                                    pt.PolarSCLDecoder(frozen, n,
                                                       list_size=8))
         _run(model, [1.0, 1.5, 2.0, 2.5], args, "scl8_n1024",
+             _ref_rows("northstar"), results)
+
+    if "northstar_fast" in chains:
+        # fast-SCL (Hashemi rate-0/rep pruning — the reference my_sn
+        # default and the bench ladder leader). Pruning reorders forks, so
+        # it is NOT bit-identical to the plain engine; it needs its own
+        # quality row vs the same reference baseline.
+        k, n = 512, 1024
+        frozen, _ = pt.generate_5g_ranking(k, n)
+        model = pt.SystemAWGNModel(n, k, pt.PolarEncoder(frozen, n),
+                                   pt.PolarSCLDecoder(frozen, n,
+                                                      list_size=8,
+                                                      use_fast_scl=True))
+        _run(model, [1.0, 1.5, 2.0, 2.5], args, "scl8_n1024_fast",
              _ref_rows("northstar"), results)
 
     if "5g" in chains:
