@@ -181,9 +181,12 @@ def main():
     filt = os.environ.get("SUITE_FILTER", "")
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "throughput.json")
-    if filt and os.path.exists(out):
+    prev = {}
+    if os.path.exists(out):
         with open(out) as fh:
-            results.update(json.load(fh))
+            prev = json.load(fh)
+    if filt:
+        results.update(prev)
         results["device"] = str(jax.devices()[0])
 
     for cfg in configs:
@@ -201,8 +204,17 @@ def main():
                              "bs": row_bs}
             print(f"{name:24s}: {bps/1e6:8.2f}M info bit/s "
                   f"(ber@{ebno:.0f}dB {ber:.4f})", flush=True)
-        except Exception as e:  # keep surveying on per-config failure
-            results[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
+        except Exception as e:  # keep surveying on per-config failure;
+            # a previously measured value is NOT discarded — it is kept
+            # marked stale so one transient compile/relay crash cannot
+            # wipe a valid number from the survey
+            row = {"error": f"{type(e).__name__}: {e}"[:200]}
+            old = prev.get(name)
+            if isinstance(old, dict) and "info_bits_per_s" in old:
+                row = dict(old)
+                row["stale"] = True
+                row["error"] = f"{type(e).__name__}: {e}"[:200]
+            results[name] = row
             print(f"{name:24s}: FAILED {type(e).__name__}", flush=True)
 
     with open(out, "w") as fh:
