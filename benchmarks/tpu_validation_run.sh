@@ -56,6 +56,15 @@ phase_probes() {
         python benchmarks/probe_kernel.py --kind sc --b 6 --tile 4096 --cold 1 --run 1
     run_step probe_scl_fast_b9 1800 \
         python benchmarks/probe_kernel.py --kind scl --b 9 --fast 1 --cold 1 --run 1
+    # raised scoped-VMEM limit: wider batch tiles per kernel invocation.
+    # The kernel is per-op overhead-bound at TB=128 (~470 cycles/op), so
+    # doubling the lanes per op is the single biggest perf lever to probe.
+    run_step probe_scl_fast_b9_v32_t256 1800 \
+        python benchmarks/probe_kernel.py --kind scl --b 9 --fast 1 --cold 1 \
+        --run 1 --vmem_mib 32 --tile 256
+    run_step probe_scl_fast_b9_v64_t512 1800 \
+        python benchmarks/probe_kernel.py --kind scl --b 9 --fast 1 --cold 1 \
+        --run 1 --vmem_mib 64 --tile 512
     grep -h '"ok"' "$LOGDIR"/probe_*.log 2>/dev/null || true
 }
 
