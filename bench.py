@@ -92,26 +92,53 @@ def main():
     bees = [int(env_b)] if env_b is not None else [None]
     fast_default = os.environ.get("BENCH_FAST_SCL", "1") != "0"
     cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "")
-    warm = bool(cache_dir and os.path.isdir(cache_dir)
-                and os.listdir(cache_dir))
-    slow_ok = (warm or pt.TPU_RELAY_FALLBACK
+
+    # per-config warm markers: a marker file records that THIS exact ladder
+    # config compiled successfully against the current cache dir, so its
+    # executable is cached and re-building it is fast. A merely non-empty
+    # cache dir proves nothing about a *different* config (the specialized
+    # b=9 kernel cold-compiles ~10-15 min even when the traced one is
+    # cached) — see the round-2 driver OOM post-mortem.
+    def marker(cfg):
+        tag = "fast{}_b{}_traced{}_bs{}_L{}".format(
+            int(cfg[0]), "auto" if cfg[1] is None else cfg[1],
+            int(cfg[2]), bs, L)
+        return os.path.join(cache_dir, f".bench_ok_{tag}") if cache_dir \
+            else ""
+
+    def is_warm(cfg):
+        m = marker(cfg)
+        return bool(m and os.path.exists(m))
+
+    specialized = [(f, b, False)
+                   for f in ([True, False] if fast_default else [False])
+                   for b in bees + [8, 7, 5]]
+    traced_ladder = [(False, b, True) for b in bees + [8, 7, 5]]
+    slow_ok = (pt.TPU_RELAY_FALLBACK
                or os.environ.get("BENCH_ALLOW_SLOW_COMPILE") == "1")
-    if slow_ok:
-        ladder = [(f, b, False)
-                  for f in ([True, False] if fast_default else [False])
-                  for b in bees + [8, 7, 5]]
+    if slow_ok or is_warm(specialized[0]):
+        ladder = specialized + traced_ladder
     else:
-        print("# cold compile cache: leading with the traced (generic) "
-              "kernel ladder; set BENCH_ALLOW_SLOW_COMPILE=1 for the "
-              "code-specialized configs", file=sys.stderr)
-        ladder = [(False, b, True) for b in bees + [8, 7, 5]]
+        # lead with any specialized config already proven warm, else the
+        # traced (generic) ladder whose cold Mosaic compile is minutes
+        warm_specialized = [c for c in specialized if is_warm(c)]
+        if not warm_specialized:
+            print("# cold compile cache: leading with the traced (generic) "
+                  "kernel ladder; set BENCH_ALLOW_SLOW_COMPILE=1 for the "
+                  "code-specialized configs", file=sys.stderr)
+        ladder = warm_specialized + traced_ladder
     step = dec = None
-    for fast_cfg, b_cfg, traced_cfg in ladder:
+    for cfg in ladder:
+        fast_cfg, b_cfg, traced_cfg = cfg
         try:
             step, dec = build_step(k, n, L, bs, b_cfg, fast_cfg,
                                    traced=traced_cfg)
             # compile + warmup (excluded from timing)
             float(step(jax.random.PRNGKey(0), jnp.float32(2.0)))
+            m = marker(cfg)
+            if m:
+                os.makedirs(cache_dir, exist_ok=True)
+                open(m, "w").close()
             break
         except Exception as e:  # compile OOM / Mosaic error: step down
             print(f"# bench config fast={fast_cfg} lower_stages={b_cfg} "

@@ -76,7 +76,7 @@ phase_lane() {
     run_step lane_sweeps 2400 python -m pytest tests/test_tpu_compiled.py \
         -m tpu -q -k "scl_sweep or fast_scl_sweep"
     run_step lane_fused_bp 2400 python -m pytest tests/test_tpu_compiled.py \
-        -m tpu -q -k "full_fused or bp_pallas"
+        -m tpu -q -k "full_fused or (bp_pallas and not cold)"
     run_step lane_cold_gates 3600 python -m pytest tests/test_tpu_compiled.py \
         -m tpu -q -k "cold_compiles"
     unset POLAR_TPU_TEST_TPU

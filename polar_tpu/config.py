@@ -32,14 +32,18 @@ class PolarConfig:
     num_devices: int = 0       # 0 = all local devices (data-parallel MC)
     target_block_errs: int = 1000
     bp_iter: int = 20          # BP decoder iterations (algos=[...,bp])
-    fast_scl: bool = False     # Hashemi rate-0/rep pruned SCL schedule
-    # (the my_sn reference default; the CLI-reference x_run SCL is plain)
+    # Hashemi rate-0/rep pruned SCL schedule (the my_sn reference default;
+    # the CLI-reference x_run SCL is plain). Tri-state: None = the engine
+    # default (fast on the unrolled engine, plain otherwise); an explicit
+    # --fast_scl true/false overrides the engine either way.
+    fast_scl: bool | None = None
     design_snr: float = 2.0    # design Eb/N0 (dB) for --construction ga
     plot_dir: str = "plots"
 
 
 def _parse_value(ftype, raw):
-    if ftype == bool or ftype == "bool":
+    if (ftype == bool or ftype == "bool"
+            or str(ftype) in ("bool | None", "typing.Optional[bool]")):
         return raw in ("1", "true", "True", "yes")
     if ftype in (List[str], "List[str]"):
         raw = raw.strip()

@@ -50,7 +50,7 @@ def gen_code(c: PolarConfig, name: str, mode: str = "sc"):
         dec = PolarSCDecoder(frozen_pos, c.n, mode=f_mode)
     elif mode == "scl":
         dec = PolarSCLDecoder(frozen_pos, c.n, c.list_size, mode=f_mode,
-                              use_fast_scl=c.fast_scl or None)
+                              use_fast_scl=c.fast_scl)
     elif mode == "bp":
         dec = PolarBPDecoder(frozen_pos, c.n, num_iter=c.bp_iter,
                              mode=f_mode)

@@ -116,6 +116,19 @@ class PolarBPDecoder:
         if use_pallas is None:
             use_pallas = (jax.default_backend() not in ("cpu",)
                           and bs % 128 == 0)
+            if use_pallas:
+                # auto mode only engages the fused kernel when its whole
+                # message lattice fits scoped VMEM at SOME legal batch
+                # tile (n >= 2048 does not at the default 16 MiB limit) —
+                # otherwise fall back to the XLA engine instead of raising
+                from polar_tpu.models.polar.pallas_bp import bp_vmem_bytes
+                from polar_tpu.models.polar.pallas_scl import (
+                    fit_tile, _vmem_limit_override)
+                try:
+                    fit_tile(bs, lambda t: bp_vmem_bytes(n, S, t),
+                             vmem_limit=_vmem_limit_override())
+                except ValueError:
+                    use_pallas = False
         if use_pallas:
             from polar_tpu.models.polar.pallas_bp import bp_pallas
             u_llr = bp_pallas(

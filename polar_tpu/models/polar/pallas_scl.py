@@ -35,23 +35,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from polar_tpu.ops.fg import F_FUNCTIONS, g as g_op
+# shared with the XLA mirror engine: the liveness rules in both files must
+# stay in lockstep for kernel/XLA bit-identity, so there is ONE definition
+# (scan_core has no module-level import of this file — no cycle)
+from polar_tpu.models.polar.scan_core import _ctz, _cto, _STALE
 
 _BIG = 3.0e38  # plain float: jnp constants would be captured by the kernel
-
-_STALE = "stale"  # trace-time marker for a dead (rewritten-before-read)
-#                   path pointer whose composition was liveness-pruned
-
-
-def _ctz(i: int) -> int:
-    return (i & -i).bit_length() - 1
-
-
-def _cto(i: int) -> int:
-    c = 0
-    while i & 1:
-        c += 1
-        i >>= 1
-    return c
 
 
 def _lptr_live(s: int, i_end: int) -> bool:

@@ -47,8 +47,9 @@ def decode_complexity(n: int, k: int, list_size: int = 1,
     """Closed-form op counts of one SC/SCL decode.
 
     Plain schedule: each of the ``log2(n)`` stages processes ``n/2``
-    f-elements and ``n/2`` g-elements per path; every leaf costs one PM
-    update per path and every info leaf one top-2L selection.
+    f-elements and ``n/2`` g-elements per path; every frozen leaf costs one
+    PM softplus per path, every info leaf two (both fork polarities — what
+    the engines actually evaluate) plus one top-2L selection.
 
     ``fast=True`` (requires ``frozen_mask``) counts the Hashemi
     rate-0/repetition pruned schedule actually executed by
@@ -63,7 +64,7 @@ def decode_complexity(n: int, k: int, list_size: int = 1,
         return DecodeComplexity(
             n=n, k=k, list_size=L,
             f_ops=half * L, g_ops=half * L, xor_ops=half * L,
-            pm_ops=n * L, sort_ops=k if L > 1 else 0)
+            pm_ops=(n + k) * L, sort_ops=k if L > 1 else 0)
     assert frozen_mask is not None, "fast complexity needs the frozen mask"
     from polar_tpu.models.polar.scan_core import fast_schedule, _ctz, _cto
     f_ops = g_ops = xor_ops = pm_ops = sort_ops = 0
