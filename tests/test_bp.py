@@ -159,3 +159,17 @@ def test_bp_more_iters_not_worse():
         d = np.asarray(dec(jnp.asarray(noisy)))
         blers.append(np.mean(np.any(d != u, axis=1)))
     assert blers[1] <= blers[0] + 0.05
+
+
+def test_bp_auto_falls_back_when_kernel_cannot_fit(monkeypatch):
+    """Auto engine selection must fall back to XLA (not raise) when the
+    fused kernel's message lattice cannot fit scoped VMEM at any legal
+    batch tile — n=2048 exceeds the 16 MiB budget even at tb=128."""
+    import jax
+    from polar_tpu.models.polar.construction import generate_rm_code
+    frozen, _info, n, k, _d = generate_rm_code(7, 11)  # n=2048
+    dec = PolarBPDecoder(frozen, n, num_iter=2)
+    # pretend we are on a TPU so the auto branch considers the kernel
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    out = dec(jnp.zeros((128, n), jnp.float32))
+    assert out.shape == (128, k)
