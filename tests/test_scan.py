@@ -285,3 +285,27 @@ def test_scl_decoder_fast_scan_routes_to_pruned_sweep():
     b = PolarSCLDecoder(frozen, n, list_size=L, schedule="scan",
                         use_fast_scl=True)(llr)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fast_hybrid_random_masks_equal_unrolled():
+    """Property sweep: random frozen sets at varying rates plus adversarial
+    patterns (whole-tree repetition node, all-info) — the pruned hybrid
+    sweep must stay bit-identical to the unrolled fast engine for ANY
+    mask, not just 5G-ranked ones."""
+    n = 64
+    rng = np.random.default_rng(7)
+    masks = []
+    for _ in range(6):
+        mask = rng.random(n) < rng.uniform(0.15, 0.85)
+        if mask.all():
+            mask[int(rng.integers(n))] = False
+        masks.append(mask)
+    whole_tree_rep = np.ones(n, bool)
+    whole_tree_rep[-1] = False           # 'r' node at the root stage
+    masks.append(whole_tree_rep)
+    masks.append(np.zeros(n, bool))      # all-info: nothing to prune
+    for i, mask in enumerate(masks):
+        _fast_vs_unrolled(mask, n, 4, 3, use_pallas=False, bs=8)
+    # two of them through the fused kernel (interpret mode) as well
+    _fast_vs_unrolled(masks[0], n, 8, 3, use_pallas=True, bs=128)
+    _fast_vs_unrolled(whole_tree_rep, n, 8, 3, use_pallas=True, bs=128)
