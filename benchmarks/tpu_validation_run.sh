@@ -100,6 +100,23 @@ phase_bler() {
     tail -n 6 "$LOGDIR/bler_fast.log" 2>/dev/null || true
 }
 
+phase_tune() {
+    # chain-level effect of raised scoped-VMEM (wider batch tiles): only
+    # for configs whose kernel probe compiled+ran ok. BENCH_ALLOW_SLOW_
+    # COMPILE is set because these are deliberate specialized compiles.
+    for mib in 32 64; do
+        if grep -q '"ok": true' "$LOGDIR/probe_scl_fast_b9_v${mib}"_*.log \
+            2>/dev/null; then
+            run_step bench_vmem${mib} 2400 \
+                env BENCH_ALLOW_SLOW_COMPILE=1 \
+                POLAR_TPU_VMEM_LIMIT_MIB=$mib python bench.py
+        else
+            note "SKIP bench_vmem${mib}: kernel probe did not pass"
+        fi
+    done
+    grep -h '"metric"' "$LOGDIR"/bench_vmem*.log 2>/dev/null || true
+}
+
 if ! relay_ok; then
     note "relay 127.0.0.1:8083 is DOWN — nothing to do"
     exit 2
@@ -112,7 +129,9 @@ case "$PHASE" in
     bench)  phase_bench ;;
     suite)  phase_suite ;;
     bler)   phase_bler ;;
-    all)    phase_probes; phase_lane; phase_bench; phase_suite; phase_bler ;;
+    tune)   phase_tune ;;
+    all)    phase_probes; phase_lane; phase_bench; phase_suite; phase_bler
+            phase_tune ;;
     *)      note "unknown phase '$PHASE'"; exit 1 ;;
 esac
 note "phase '$PHASE' complete — logs in $LOGDIR"
