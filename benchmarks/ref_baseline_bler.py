@@ -110,21 +110,29 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--blocks", type=int, default=400)
     ap.add_argument("--bs", type=int, default=40)
+    ap.add_argument("--chains", default="northstar,fiveg",
+                    help="comma list: northstar, fiveg (others keep their "
+                         "previous rows from --out)")
     ap.add_argument("--out", default="benchmarks/ref_baseline_bler.json")
     args = ap.parse_args()
+    chains = set(args.chains.split(","))
 
     import torch as tc
     tc.manual_seed(0)
     rng = np.random.default_rng(20260816)
 
-    out = {
-        "method": "reference code run in-place, per-bit AWGN logits "
-                  "(see module docstring); seed 20260816",
-        "northstar": run_northstar(tc, rng, [1.0, 1.5, 2.0, 2.5],
-                                   args.blocks, args.bs),
-        "fiveg": run_5g(tc, rng, [1.0, 1.5, 2.0, 2.5, 3.0],
-                        args.blocks, args.bs),
-    }
+    out = {"method": "reference code run in-place, per-bit AWGN logits "
+                     "(see module docstring); seed 20260816"}
+    if os.path.exists(args.out):
+        with open(args.out) as fh:
+            prev = json.load(fh)
+        out.update({k: v for k, v in prev.items() if k != "method"})
+    if "northstar" in chains:
+        out["northstar"] = run_northstar(tc, rng, [1.0, 1.5, 2.0, 2.5],
+                                         args.blocks, args.bs)
+    if "fiveg" in chains:
+        out["fiveg"] = run_5g(tc, rng, [1.0, 1.5, 2.0, 2.5, 3.0],
+                              args.blocks, args.bs)
     with open(args.out, "w") as fh:
         json.dump(out, fh, indent=1)
     print(f"wrote {args.out}")
