@@ -47,6 +47,26 @@ def _softplus(x):
     return jnp.logaddexp(0.0, x)
 
 
+def _pvary_like(x, ref):
+    """Mark a constant-built array as varying over the same manual mesh
+    axes as ``ref`` (no-op outside ``shard_map``).
+
+    The scan carries below are initialized from ``jnp.zeros``/``full``
+    constants. Under ``shard_map`` those are *unvarying* in JAX's
+    varying-manual-axes type system while the llr-derived values written
+    into the same carry slots by later switch branches are varying — and
+    ``lax.switch`` requires all branches to return identical types. Seeding
+    the initial carry as varying-like-the-input makes every branch agree.
+    """
+    try:
+        missing = jax.typeof(ref).vma - jax.typeof(x).vma
+    except (AttributeError, TypeError):  # not under tracing w/ vma support
+        return x
+    for ax in missing:
+        x = lax.pcast(x, ax, to="varying")
+    return x
+
+
 def _ctz(i: int) -> int:
     return (i & -i).bit_length() - 1
 
@@ -218,9 +238,10 @@ def sc_sweep(llr_ch, frozen_mask, mode: str = "minsum",
         carry = lax.switch(rise_id, rise_branches, carry + (ubit,))[:-1]
         return carry, None
 
-    lbufs = tuple(jnp.zeros((1 << s, bs), jnp.float32) for s in range(S))
-    u0s = tuple(jnp.zeros((1 << s, bs), jnp.int8) for s in range(S))
-    cw0 = jnp.zeros((n, bs), jnp.int8)
+    pv = lambda x: _pvary_like(x, llr_ch)
+    lbufs = tuple(pv(jnp.zeros((1 << s, bs), jnp.float32)) for s in range(S))
+    u0s = tuple(pv(jnp.zeros((1 << s, bs), jnp.int8)) for s in range(S))
+    cw0 = pv(jnp.zeros((n, bs), jnp.int8))
     carry, _ = lax.scan(
         body, lbufs + u0s + (cw0,),
         (jnp.asarray(desc_ids), jnp.asarray(rise_ids), frozen))
@@ -305,7 +326,10 @@ def scl_sweep(llr_ch, frozen_mask, list_size: int, mode: str = "minsum",
     def frozen_leaf(op):
         lperm, uperm, pm, llr0 = op
         pm = pm + _softplus(-clip(llr0[0]))
-        return lperm, uperm, pm, jnp.zeros((1, L, bs), jnp.int8)
+        # pvary: fork_leaf's ubit is llr-derived (varying under shard_map);
+        # cond branches must return identical types
+        return (lperm, uperm, pm,
+                _pvary_like(jnp.zeros((1, L, bs), jnp.int8), llr0))
 
     def fork_leaf(op):
         lperm, uperm, pm, llr0 = op
@@ -332,13 +356,15 @@ def scl_sweep(llr_ch, frozen_mask, list_size: int, mode: str = "minsum",
         carry = lax.switch(rise_id, rise_branches, carry + (ubit,))[:-1]
         return carry, None
 
-    lbufs = tuple(jnp.zeros((1 << s, L, bs), jnp.float32) for s in range(S))
-    u0s = tuple(jnp.zeros((1 << s, L, bs), jnp.int8) for s in range(S))
-    lperm0 = jnp.broadcast_to(ident[None], (S, L, bs)).astype(jnp.int32)
+    pv = lambda x: _pvary_like(x, llr_ch)
+    lbufs = tuple(pv(jnp.zeros((1 << s, L, bs), jnp.float32))
+                  for s in range(S))
+    u0s = tuple(pv(jnp.zeros((1 << s, L, bs), jnp.int8)) for s in range(S))
+    lperm0 = pv(jnp.broadcast_to(ident[None], (S, L, bs)).astype(jnp.int32))
     # path 0 live, clones start at +llr_max penalty (reference
     # polar_scl.py:193-195)
-    pm0 = jnp.full((L, bs), llr_max, jnp.float32).at[0].set(0.0)
-    cw0 = jnp.zeros((n, L, bs), jnp.int8)
+    pm0 = pv(jnp.full((L, bs), llr_max, jnp.float32).at[0].set(0.0))
+    cw0 = pv(jnp.zeros((n, L, bs), jnp.int8))
     carry = lbufs + u0s + (lperm0, lperm0, pm0, cw0)
     carry, _ = lax.scan(
         body, carry,
@@ -540,8 +566,10 @@ def sc_sweep_hybrid(llr_ch, frozen_mask, mode: str = "minsum",
         carry = lax.switch(rise_id, rise_branches, carry + (cwj,))[:-1]
         return carry, cwj
 
-    lbs0 = tuple(jnp.zeros(lb_shape(t), jnp.float32) for t in range(N_LB))
-    u0s0 = tuple(jnp.zeros(u0_shape(t), jnp.int8) for t in range(top))
+    pv = lambda x: _pvary_like(x, llr_ch)
+    lbs0 = tuple(pv(jnp.zeros(lb_shape(t), jnp.float32))
+                 for t in range(N_LB))
+    u0s0 = tuple(pv(jnp.zeros(u0_shape(t), jnp.int8)) for t in range(top))
     if m <= UNROLL_OUTER_MAX_M:
         # unrolled outer (no scan/switch) — see scl_sweep_hybrid; the
         # branch indices become static so XLA specializes per super-leaf
@@ -786,14 +814,17 @@ def scl_sweep_hybrid(llr_ch, frozen_mask, list_size: int,
         carry = lax.switch(rise_id, rise_branches, carry + (cwj,))[:-1]
         return carry, (cwj, Pj)
 
-    lbs0 = tuple(jnp.zeros((1 << (b + 1 + t), L, bs), jnp.float32)
+    pv = lambda x: _pvary_like(x, llr_ch)
+    lbs0 = tuple(pv(jnp.zeros((1 << (b + 1 + t), L, bs), jnp.float32))
                  for t in range(N_LB))
-    u0s0 = tuple(jnp.zeros((1 << (b + t), L, bs), jnp.int8)
+    u0s0 = tuple(pv(jnp.zeros((1 << (b + t), L, bs), jnp.int8))
                  for t in range(top))
-    lperm0 = (jnp.broadcast_to(ident[None], (N_LB, L, bs)).astype(jnp.int32)
-              if N_LB else jnp.zeros((0, L, bs), jnp.int32))
-    uperm0 = jnp.broadcast_to(ident[None], (top, L, bs)).astype(jnp.int32)
-    pm0 = jnp.full((L, bs), llr_max, jnp.float32).at[0].set(0.0)
+    lperm0 = pv(jnp.broadcast_to(ident[None],
+                                 (N_LB, L, bs)).astype(jnp.int32)
+                if N_LB else jnp.zeros((0, L, bs), jnp.int32))
+    uperm0 = pv(jnp.broadcast_to(ident[None], (top, L, bs))
+                .astype(jnp.int32))
+    pm0 = pv(jnp.full((L, bs), llr_max, jnp.float32).at[0].set(0.0))
     carry = lbs0 + u0s0 + (lperm0, uperm0, pm0)
 
     if m <= UNROLL_OUTER_MAX_M:
@@ -832,7 +863,7 @@ def scl_sweep_hybrid(llr_ch, frozen_mask, list_size: int,
         prev = jnp.take_along_axis(Pj, label, axis=0)
         return prev, label
 
-    _, labels = lax.scan(back, ident, Ps, reverse=True)  # [m, L, bs]
+    _, labels = lax.scan(back, pv(ident), Ps, reverse=True)  # [m, L, bs]
     cw = jnp.take_along_axis(cws, labels[:, None], axis=2)  # [m, 2^b, L, bs]
     u = polar_transform(cw, axis=1)  # per-subtree involution -> decisions
     return u.reshape(n, L, bs), pm

@@ -105,3 +105,35 @@ def test_mesh_subset():
     sharded = ShardedSystem(_model(), mesh)
     out = sharded.counted_step(jax.random.PRNGKey(1), 32, jnp.float32(2.0))
     assert len(out) == 4
+
+
+@pytest.mark.parametrize("decoder", ["sc", "scl"])
+def test_scan_engine_under_shard_map(decoder):
+    """Regression: the lax.scan sweep engines trace under shard_map.
+
+    The scan carries are built from constants, which are *unvarying* in
+    shard_map's varying-manual-axes type system, while llr-derived branch
+    outputs are varying — lax.switch/cond used to fail with "switch
+    branches must have equal output types" (scan_core._pvary_like seeds
+    the carries as varying). n=256 >= SCAN_THRESHOLD_N forces the scan
+    engine; counters must equal the manual per-shard run bit-for-bit."""
+    k, n = 128, 256
+    frozen, _ = generate_5g_ranking(k, n)
+    dec = (PolarSCDecoder(frozen, n, schedule="scan") if decoder == "sc"
+           else PolarSCLDecoder(frozen, n, list_size=4, schedule="scan"))
+    assert dec.schedule == "scan"
+    model = SystemAWGNModel(n, k, PolarEncoder(frozen, n), dec)
+    sharded = ShardedSystem(model, make_mesh(8))
+    key = jax.random.PRNGKey(7)
+    bs = 32
+    bit_e, blk_e, nb, nblk = sharded.counted_step(key, bs, jnp.float32(2.0))
+    assert nb == bs * k and nblk == bs
+
+    want_bit = want_blk = 0
+    for shard in range(8):
+        b, b_hat = model.step(jax.random.fold_in(key, shard), bs // 8,
+                              jnp.float32(2.0))
+        want_bit += int(count_errors(b, b_hat))
+        want_blk += int(count_block_errors(b, b_hat))
+    assert int(bit_e) == want_bit
+    assert int(blk_e) == want_blk
