@@ -42,6 +42,43 @@ def bit_llrs(rng, cw, ebno_db, coderate):
             ).astype(np.float32)
 
 
+def run_sc(tc, rng, ebno_dbs, n_blocks, bs):
+    """Reference SC on the north-star code (x_run_sn_polar/polar/
+    polar_sc.py — note its _cn_op_tf unconditionally falls through to the
+    min-sum f, so this is like-for-like with our minsum-default SC)."""
+    from my_sn.fec.polar.utils import generate_5g_ranking
+    from polar.polar_sc import SC_Dec as XRunSC
+
+    k, n = 512, 1024
+    frozen_pos, info_pos = generate_5g_ranking(k, n)
+    frozen_pos = np.asarray(frozen_pos)
+    info_pos = np.asarray(info_pos)
+    g = np.array([[1, 0], [1, 1]], dtype=np.int64)
+    G = g.copy()
+    for _ in range(9):
+        G = np.kron(g, G)
+
+    dec = XRunSC(frozen_pos, n)
+    rows = {}
+    for e in ebno_dbs:
+        blk_err = blocks = 0
+        t0 = time.time()
+        while blocks < n_blocks:
+            u = rng.integers(0, 2, size=(bs, k)).astype(np.float32)
+            cw_u = np.zeros((bs, n), dtype=np.int64)
+            cw_u[:, info_pos] = u
+            c = (cw_u @ G) % 2
+            llr = bit_llrs(rng, c.astype(np.float32), e, k / n)
+            u_hat = dec(tc.tensor(llr)).numpy()
+            blk_err += int(np.any(u_hat != u, axis=1).sum())
+            blocks += bs
+        rows[f"{e:.1f}"] = {"bler": blk_err / blocks, "blocks": blocks,
+                            "secs": round(time.time() - t0, 1)}
+        print(f"sc {e:.1f} dB: BLER {blk_err / blocks:.4f} "
+              f"({blocks} blocks, {rows[f'{e:.1f}']['secs']}s)", flush=True)
+    return {"config": "sc_minsum_k512_n1024_5gtable", "rows": rows}
+
+
 def run_northstar(tc, rng, ebno_dbs, n_blocks, bs):
     from my_sn.fec.polar.utils import generate_5g_ranking
     from polar.polar_scl import SCL_Dec as XRunSCL
@@ -111,8 +148,8 @@ def main():
     ap.add_argument("--blocks", type=int, default=400)
     ap.add_argument("--bs", type=int, default=40)
     ap.add_argument("--chains", default="northstar,fiveg",
-                    help="comma list: northstar, fiveg (others keep their "
-                         "previous rows from --out)")
+                    help="comma list: sc, northstar, fiveg (others keep "
+                         "their previous rows from --out)")
     ap.add_argument("--out", default="benchmarks/ref_baseline_bler.json")
     args = ap.parse_args()
     chains = set(args.chains.split(","))
@@ -127,6 +164,9 @@ def main():
         with open(args.out) as fh:
             prev = json.load(fh)
         out.update({k: v for k, v in prev.items() if k != "method"})
+    if "sc" in chains:
+        out["sc"] = run_sc(tc, rng, [1.0, 1.5, 2.0, 2.5, 3.0],
+                           args.blocks, args.bs)
     if "northstar" in chains:
         out["northstar"] = run_northstar(tc, rng, [1.0, 1.5, 2.0, 2.5],
                                          args.blocks, args.bs)
