@@ -55,18 +55,22 @@ def _ref_rows(which):
     return None if entry is None else entry["rows"]
 
 
+def _baseline_cols(baseline_rows, ebno):
+    """(baseline_bler, baseline_blocks) columns for the given Eb/N0 grid,
+    all-None when no baseline rows exist."""
+    if baseline_rows is None:
+        return [None] * len(ebno), [None] * len(ebno)
+    rows = [baseline_rows.get(f"{float(e):.1f}", {}) for e in ebno]
+    return ([r.get("bler") for r in rows], [r.get("blocks") for r in rows])
+
+
 def _run(model, ebno, args, name, baseline_rows, results,
          bound_factor=1.0):
     ber, bler = pt.sim_ber(model, ebno, batch_size=args.bs,
                            max_mc_iter=args.mc_iter,
                            target_block_errs=args.blocks,
                            early_stop=False, verbose=True, seed=42)
-    base = [None if baseline_rows is None
-            else baseline_rows.get(f"{float(e):.1f}", {}).get("bler")
-            for e in ebno]
-    base_blocks = [None if baseline_rows is None
-                   else baseline_rows.get(f"{float(e):.1f}", {}).get("blocks")
-                   for e in ebno]
+    base, base_blocks = _baseline_cols(baseline_rows, ebno)
     results[name] = {
         "ebno_db": np.asarray(ebno, dtype=float).tolist(),
         "ber": ber.tolist(), "bler": bler.tolist(),
@@ -110,11 +114,8 @@ def main():
             r, rows = results.get(name), _ref_rows(which)
             if r is None or rows is None:
                 continue
-            r["baseline_bler"] = [rows.get(f"{float(e):.1f}", {}).get("bler")
-                                  for e in r["ebno_db"]]
-            r["baseline_blocks"] = [
-                rows.get(f"{float(e):.1f}", {}).get("blocks")
-                for e in r["ebno_db"]]
+            r["baseline_bler"], r["baseline_blocks"] = _baseline_cols(
+                rows, r["ebno_db"])
         chains = set()  # fall through to write + bound check only
 
     if "k32" in chains:

@@ -156,22 +156,30 @@ def main():
 
     import torch as tc
     tc.manual_seed(0)
-    rng = np.random.default_rng(20260816)
+    # per-chain seed streams: a chain's rows do not depend on which other
+    # chains were selected in the same invocation (the committed
+    # northstar/fiveg rows predate this and were produced by sequential
+    # draws from the base stream — equivalent within their MC depth)
+    chain_rng = {name: np.random.default_rng([20260816, i])
+                 for i, name in enumerate(["sc", "northstar", "fiveg"])}
 
     out = {"method": "reference code run in-place, per-bit AWGN logits "
-                     "(see module docstring); seed 20260816"}
+                     "(see module docstring); per-chain seeds "
+                     "[20260816, chain_index]"}
     if os.path.exists(args.out):
         with open(args.out) as fh:
             prev = json.load(fh)
         out.update({k: v for k, v in prev.items() if k != "method"})
     if "sc" in chains:
-        out["sc"] = run_sc(tc, rng, [1.0, 1.5, 2.0, 2.5, 3.0],
+        out["sc"] = run_sc(tc, chain_rng["sc"], [1.0, 1.5, 2.0, 2.5, 3.0],
                            args.blocks, args.bs)
     if "northstar" in chains:
-        out["northstar"] = run_northstar(tc, rng, [1.0, 1.5, 2.0, 2.5],
+        out["northstar"] = run_northstar(tc, chain_rng["northstar"],
+                                         [1.0, 1.5, 2.0, 2.5],
                                          args.blocks, args.bs)
     if "fiveg" in chains:
-        out["fiveg"] = run_5g(tc, rng, [1.0, 1.5, 2.0, 2.5, 3.0],
+        out["fiveg"] = run_5g(tc, chain_rng["fiveg"],
+                              [1.0, 1.5, 2.0, 2.5, 3.0],
                               args.blocks, args.bs)
     with open(args.out, "w") as fh:
         json.dump(out, fh, indent=1)

@@ -39,8 +39,9 @@ def main():
         model = pt.SystemAWGNModel(n, k, enc, dec)
         ber, bler = plot.simulate(model, ebno_dbs, batch_size=2048,
                                   max_mc_iter=50, target_block_errs=500,
-                                  legend=name)
-        print(f"{name}: BER {np.asarray(ber).round(5)}")
+                                  add_bler=True, legend=name)
+        print(f"{name}: BER  {np.asarray(ber).round(5)}")
+        print(f"{name}: BLER {np.asarray(bler).round(5)}")
 
     fig, _ = plot.plot()
     fig.savefig("bler_sweep.png", bbox_inches="tight")

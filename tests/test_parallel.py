@@ -137,3 +137,41 @@ def test_scan_engine_under_shard_map(decoder):
         want_blk += int(count_block_errors(b, b_hat))
     assert int(bit_e) == want_bit
     assert int(blk_e) == want_blk
+
+
+def test_scan_outer_switch_under_shard_map():
+    """Same regression, for the hybrid engine's *scan-outer* path.
+
+    At n=256 with the conftest's b=3 the outer sweep has m=5 super-stages
+    and unrolls (no lax.switch) — the case above covers it. Here
+    n=4096 -> m=9 > scan_core.UNROLL_OUTER_MAX_M, so the outer sweep runs
+    as lax.scan over lax.switch rise-branches, the construct the vma
+    seeding exists for."""
+    from polar_tpu.models.polar.scan_core import (UNROLL_OUTER_MAX_M,
+                                                  resolve_lower_stages)
+
+    from polar_tpu.models.polar.construction import get_kern_frozen_bits
+    from polar_tpu.models.polar.kernels import ARIKAN_F2
+
+    k, n = 2048, 4096
+    _, _, frozen = get_kern_frozen_bits(n, n - k, ARIKAN_F2)
+    # conftest pins POLAR_TPU_LOWER_STAGES=3 -> m = 12 - 3 = 9 > 8
+    S = n.bit_length() - 1
+    b = resolve_lower_stages(S, 16, use_pallas=False)
+    assert S - b > UNROLL_OUTER_MAX_M, (S, b)
+    dec = PolarSCDecoder(frozen, n, schedule="scan")
+    model = SystemAWGNModel(n, k, PolarEncoder(frozen, n), dec)
+    sharded = ShardedSystem(model, make_mesh(8))
+    key = jax.random.PRNGKey(11)
+    bs = 16
+    bit_e, blk_e, nb, nblk = sharded.counted_step(key, bs, jnp.float32(2.5))
+    assert nb == bs * k and nblk == bs
+
+    want_bit = want_blk = 0
+    for shard in range(8):
+        b, b_hat = model.step(jax.random.fold_in(key, shard), bs // 8,
+                              jnp.float32(2.5))
+        want_bit += int(count_errors(b, b_hat))
+        want_blk += int(count_block_errors(b, b_hat))
+    assert int(bit_e) == want_bit
+    assert int(blk_e) == want_blk
