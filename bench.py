@@ -30,11 +30,17 @@ import polar_tpu as pt
 BASELINE_INFO_BPS = 2690.0  # BASELINE.md: SCL-8 decode+chain, k=512 n=1024
 
 
-def build_step(k, n, L, bs, lower_stages, fast_scl, traced=False):
+def build_step(k, n, L, bs, lower_stages, fast_scl, traced=False,
+               cond32=False):
     """Fresh model + fused jitted chain step at the given subtree depth.
     ``lower_stages=None`` -> the VMEM-model auto choice; ``traced`` forces
     the generic (frz-in-SMEM) kernel whose cold Mosaic compile is minutes
-    faster than the code-specialized one (see cold ladder below)."""
+    faster than the code-specialized one (see cold ladder below);
+    ``cond32`` additionally enables the runtime frozen-leaf skip
+    (lax.cond, POLAR_TPU_COND_KERNEL) under a 32 MiB scoped-VMEM limit —
+    the cond kernel's ~2.2x scf.if stack spill needs the raised limit to
+    keep b=9/TB=128 (measured 194.4M bit/s vs 160.7M branchless, both
+    traced, cold compile ~6 min)."""
     if lower_stages is None:
         os.environ.pop("POLAR_TPU_LOWER_STAGES", None)
     else:
@@ -43,6 +49,12 @@ def build_step(k, n, L, bs, lower_stages, fast_scl, traced=False):
         os.environ["POLAR_TPU_TRACED_KERNEL"] = "1"
     else:
         os.environ.pop("POLAR_TPU_TRACED_KERNEL", None)
+    if cond32:
+        os.environ["POLAR_TPU_COND_KERNEL"] = "1"
+        os.environ["POLAR_TPU_VMEM_LIMIT_MIB"] = "32"
+    else:
+        os.environ.pop("POLAR_TPU_COND_KERNEL", None)
+        os.environ.pop("POLAR_TPU_VMEM_LIMIT_MIB", None)
     frozen, _ = pt.generate_5g_ranking(k, n)
     enc = pt.PolarEncoder(frozen, n)
     dec = pt.PolarSCLDecoder(frozen, n, list_size=L,
@@ -100,9 +112,9 @@ def main():
     # b=9 kernel cold-compiles ~10-15 min even when the traced one is
     # cached) — see the round-2 driver OOM post-mortem.
     def marker(cfg):
-        tag = "fast{}_b{}_traced{}_bs{}_L{}".format(
+        tag = "fast{}_b{}_traced{}_cond{}_bs{}_L{}".format(
             int(cfg[0]), "auto" if cfg[1] is None else cfg[1],
-            int(cfg[2]), bs, L)
+            int(cfg[2]), int(cfg[3]), bs, L)
         return os.path.join(cache_dir, f".bench_ok_{tag}") if cache_dir \
             else ""
 
@@ -110,10 +122,17 @@ def main():
         m = marker(cfg)
         return bool(m and os.path.exists(m))
 
-    specialized = [(f, b, False)
+    specialized = [(f, b, False, False)
                    for f in ([True, False] if fast_default else [False])
                    for b in bees + [8, 7, 5]]
-    traced_ladder = [(False, b, True) for b in bees + [8, 7, 5]]
+    # traced ladder leads with the cond-leaves kernel under a raised
+    # (32 MiB) scoped-VMEM limit: same b=9/TB=128 as the branchless traced
+    # config but frozen leaves skip the fork at runtime — measured 194.4M
+    # vs 160.7M bit/s, cold Mosaic compile ~6 min. Any failure steps down
+    # to the branchless traced configs.
+    traced_ladder = ([(False, bees[0], True, True)] if env_b is None
+                     else []) + \
+        [(False, b, True, False) for b in bees + [8, 7, 5]]
     slow_ok = (pt.TPU_RELAY_FALLBACK
                or os.environ.get("BENCH_ALLOW_SLOW_COMPILE") == "1")
     if slow_ok or is_warm(specialized[0]):
@@ -129,10 +148,10 @@ def main():
         ladder = warm_specialized + traced_ladder
     step = dec = None
     for cfg in ladder:
-        fast_cfg, b_cfg, traced_cfg = cfg
+        fast_cfg, b_cfg, traced_cfg, cond_cfg = cfg
         try:
             step, dec = build_step(k, n, L, bs, b_cfg, fast_cfg,
-                                   traced=traced_cfg)
+                                   traced=traced_cfg, cond32=cond_cfg)
             # compile + warmup (excluded from timing)
             float(step(jax.random.PRNGKey(0), jnp.float32(2.0)))
             m = marker(cfg)

@@ -91,7 +91,7 @@ def _gather_rows(x2d, ptr):
 
 
 def _subtree_kernel(*refs, b, L, llr_max, mode, frz_static=None,
-                    sched_static=None):
+                    sched_static=None, cond_leaves=False):
     # frz_static (tuple of 0/1, compile-time) specializes the kernel to
     # one frozen set: frozen leaves keep only the pm update — the top-L
     # selection AND every pointer gather vanish (parent == identity), which
@@ -231,29 +231,69 @@ def _subtree_kernel(*refs, b, L, llr_max, mode, frz_static=None,
             else:  # 'i' / 't' leaf fork
                 v = clip(cur[0])                       # [L, TB]
                 sp_n = softplus(-v)
-                pmc = jnp.concatenate([pm + sp_n, pm + softplus(v)],
-                                      axis=0)
-            pm_fork, sel = top_l(pmc)
-            if kind == "t":  # traced frozen-ness: branchless select
-                frz_i = frz_ref[lo] != 0
-                pm = jnp.where(frz_i, pm + sp_n, pm_fork)
-                parent = jnp.where(frz_i, ident, sel % L)
-                ubit = jnp.where(frz_i, jnp.zeros((L, TB), jnp.int32),
-                                 sel // L)[None]       # [1, L, TB]
+                if not (kind == "t" and cond_leaves):
+                    pmc = jnp.concatenate([pm + sp_n, pm + softplus(v)],
+                                          axis=0)
+            if kind == "t" and cond_leaves:
+                # runtime frozen-leaf skip: branch on the (uniform, SMEM)
+                # frozen flag so frozen leaves pay only the pm update — the
+                # generic traced kernel recovers most of the static
+                # specialization win (which skips the same ops at compile
+                # time) without a per-frozen-set executable. Both branches
+                # compute the exact expressions of the branchless form, so
+                # outputs stay bit-identical to every other engine.
+                live_l = [s for s in range(len(lptr))
+                          if _lptr_live(s, i_end)]
+                live_u = [s for s in range(len(uptr))
+                          if _uptr_live(s, i_end, s_nd)]
+                mat = lambda p: ident if p is None else p
+
+                def info_br(pm_, lps, ups, P_):
+                    pmc_ = jnp.concatenate([pm_ + sp_n, pm_ + softplus(v)],
+                                           axis=0)
+                    pm_f, sel_ = top_l(pmc_)
+                    par = sel_ % L
+                    return (pm_f, sel_ // L,
+                            [_gather_rows(p, par) for p in lps],
+                            [_gather_rows(p, par) for p in ups],
+                            _gather_rows(P_, par))
+
+                def frz_br(pm_, lps, ups, P_):
+                    return (pm_ + sp_n, jnp.zeros((L, TB), jnp.int32),
+                            lps, ups, P_)
+
+                pm, bit, lps_n, ups_n, P = lax.cond(
+                    frz_ref[lo] != 0, frz_br, info_br,
+                    pm, [mat(lptr[s]) for s in live_l],
+                    [mat(uptr[s]) for s in live_u], mat(P))
+                ubit = bit[None]                        # [1, L, TB]
+                lptr = [lps_n[live_l.index(s)] if s in live_l else _STALE
+                        for s in range(len(lptr))]
+                uptr = [ups_n[live_u.index(s)] if s in live_u else _STALE
+                        for s in range(len(uptr))]
             else:
-                pm = pm_fork
-                parent = sel % L
-                bit = sel // L                          # [L, TB]
-                ubit = (bit[None] if s_nd == 0
-                        else jnp.broadcast_to(bit[None], (w_nd, L, TB)))
-            # liveness-pruned composition: dead stages are rewritten
-            # before their next read, so skip their gathers outright
-            lptr = [pgather(p, parent) if _lptr_live(s, i_end) else _STALE
-                    for s, p in enumerate(lptr)]
-            uptr = [pgather(p, parent)
-                    if _uptr_live(s, i_end, s_nd) else _STALE
-                    for s, p in enumerate(uptr)]
-            P = pgather(P, parent)
+                pm_fork, sel = top_l(pmc)
+                if kind == "t":  # traced frozen-ness: branchless select
+                    frz_i = frz_ref[lo] != 0
+                    pm = jnp.where(frz_i, pm + sp_n, pm_fork)
+                    parent = jnp.where(frz_i, ident, sel % L)
+                    ubit = jnp.where(frz_i, jnp.zeros((L, TB), jnp.int32),
+                                     sel // L)[None]   # [1, L, TB]
+                else:
+                    pm = pm_fork
+                    parent = sel % L
+                    bit = sel // L                      # [L, TB]
+                    ubit = (bit[None] if s_nd == 0
+                            else jnp.broadcast_to(bit[None],
+                                                  (w_nd, L, TB)))
+                # liveness-pruned composition: dead stages are rewritten
+                # before their next read, so skip their gathers outright
+                lptr = [pgather(p, parent) if _lptr_live(s, i_end)
+                        else _STALE for s, p in enumerate(lptr)]
+                uptr = [pgather(p, parent)
+                        if _uptr_live(s, i_end, s_nd) else _STALE
+                        for s, p in enumerate(uptr)]
+                P = pgather(P, parent)
         # ---- rise: combine partial sums upward ----
         r = _cto(i_end)
         cur_u = ubit
@@ -652,12 +692,18 @@ def _vmem_limit_override() -> int | None:
     return None if v is None else int(v) * 2 ** 20
 
 
-def scl_vmem_bytes(b: int, L: int, tb: int) -> int:
+def scl_vmem_bytes(b: int, L: int, tb: int, cond: bool = False) -> int:
     """Total VMEM footprint of ``subtree_pallas`` at batch tile ``tb``:
     scratch (lloc f32 + uloc i32, 2^b - 1 rows each) plus the in/out
-    blocks (a f32 + cw i32, 2^b rows each; pm in + P/pm out, 3 rows)."""
+    blocks (a f32 + cw i32, 2^b rows each; pm in + P/pm out, 3 rows).
+
+    ``cond=True`` budgets the cond-leaves kernel's measured ~2x VMEM-stack
+    spill (each scf.if region's operands/results get stack slots the
+    branchless form doesn't need: b=9 L=8 TB=128 -> 17.01M actual vs 8.39M
+    modeled; 2.2x keeps headroom)."""
     w = 1 << b
-    return 4 * L * tb * (2 * (w - 1) + 2 * w + 3)
+    base = 4 * L * tb * (2 * (w - 1) + 2 * w + 3)
+    return int(2.2 * base) if cond else base
 
 
 def sc_vmem_bytes(b: int, tb: int) -> int:
@@ -695,11 +741,21 @@ def fit_tile(bs: int, bytes_fn, vmem_limit: int | None = None) -> int:
     return tb
 
 
+def cond_leaves_default() -> bool:
+    """Runtime frozen-leaf skip (lax.cond on the SMEM frozen flag) in the
+    generic traced kernel. Opt-in via ``POLAR_TPU_COND_KERNEL=1`` until the
+    Mosaic lowering is validated on the target backend; bit-identical to
+    the branchless form either way (tests/test_scan.py)."""
+    return os.environ.get("POLAR_TPU_COND_KERNEL", "0") == "1"
+
+
 @functools.partial(jax.jit, static_argnames=("b", "L", "llr_max", "mode",
                                              "interpret", "tile",
-                                             "frz_static", "sched_static"))
+                                             "frz_static", "sched_static",
+                                             "cond_leaves"))
 def subtree_pallas(a, frz, pm, *, b, L, llr_max, mode, interpret=False,
-                   tile=None, frz_static=None, sched_static=None):
+                   tile=None, frz_static=None, sched_static=None,
+                   cond_leaves=False):
     """Run the fused subtree kernel. ``a``: [2^b, L, bs] f32 stage-b LLRs,
     ``frz``: [2^b] int32 (pass None with ``frz_static``/``sched_static``),
     ``pm``: [L, bs] f32. Returns (cw [2^b, L, bs] int32, P [L, bs] int32,
@@ -718,9 +774,12 @@ def subtree_pallas(a, frz, pm, *, b, L, llr_max, mode, interpret=False,
     w_sub, L_, bs = a.shape
     assert w_sub == (1 << b) and L_ == L
     W = (1 << b) - 1  # stages 0..b-1 only; stage b reads the input block
+    static = frz_static is not None or sched_static is not None
+    cond_on = bool(cond_leaves) and not static and L <= 8
     vlim = _vmem_limit_override()
     TB = tile if tile is not None else fit_tile(
-        bs, lambda t: scl_vmem_bytes(b, L, t), vmem_limit=vlim)
+        bs, lambda t: scl_vmem_bytes(b, L, t, cond=cond_on),
+        vmem_limit=vlim)
     TB = min(TB, bs)
     assert bs % TB == 0, f"bs={bs} must be a multiple of the tile {TB}"
     grid = (bs // TB,)
@@ -731,11 +790,16 @@ def subtree_pallas(a, frz, pm, *, b, L, llr_max, mode, interpret=False,
     if frz_static is not None:
         assert len(frz_static) == w_sub
         frz_static = tuple(int(x) for x in frz_static)
-    static = frz_static is not None or sched_static is not None
-    kern = functools.partial(
-        _subtree_kernel if L <= 8 else _subtree_kernel_blocked,
-        b=b, L=L, llr_max=float(llr_max), mode=mode, frz_static=frz_static,
-        sched_static=sched_static)
+    if L <= 8:
+        kern = functools.partial(
+            _subtree_kernel, b=b, L=L, llr_max=float(llr_max), mode=mode,
+            frz_static=frz_static, sched_static=sched_static,
+            # runtime skip only applies to traced ('t') leaves
+            cond_leaves=cond_on)
+    else:
+        kern = functools.partial(
+            _subtree_kernel_blocked, b=b, L=L, llr_max=float(llr_max),
+            mode=mode, frz_static=frz_static, sched_static=sched_static)
     bspec = lambda rows: pl.BlockSpec((rows, L, TB),
                                       lambda i: (0, 0, i),
                                       memory_space=pltpu.VMEM)

@@ -422,11 +422,17 @@ def resolve_lower_stages(S: int, bs: int, use_pallas: bool,
         # lower_stages=) skip this cap.
         cap = min(cap, BLOCKED_B_CAP)
     vlim = pk._vmem_limit_override()  # POLAR_TPU_VMEM_LIMIT_MIB, if set
+    # cond-leaves (POLAR_TPU_COND_KERNEL=1) only engages on the traced
+    # kernel, but its ~2.2x scf.if stack spill must be budgeted whenever
+    # the env asks for it — a static kernel under-picking b by one when
+    # the flag is (unusually) combined with the unrolled outer is the
+    # safe direction
+    cond = (L is not None and L <= 8 and pk.cond_leaves_default())
     for b in range(min(cap, S - 1), 0, -1):
         # SC budgets 2.2x for the Mosaic stack spill (see sc_subtree_pallas)
         bytes_fn = ((lambda t: int(2.2 * pk.sc_vmem_bytes(b, t)))
                     if L is None
-                    else (lambda t: pk.scl_vmem_bytes(b, L, t)))
+                    else (lambda t: pk.scl_vmem_bytes(b, L, t, cond=cond)))
         try:
             pk.fit_tile(bs, bytes_fn, vmem_limit=vlim)
             return b
@@ -793,10 +799,12 @@ def scl_sweep_hybrid(llr_ch, frozen_mask, list_size: int,
                     mode=mode, interpret=interp,
                     frz_static=tuple(int(x) for x in frz))
             else:
+                from polar_tpu.models.polar.pallas_scl import (
+                    cond_leaves_default)
                 cw32, Pj, pm = subtree_pallas(
                     a, jnp.asarray(frz).astype(jnp.int32), carry[I_PM],
                     b=b, L=L, llr_max=float(llr_max), mode=mode,
-                    interpret=interp)
+                    interpret=interp, cond_leaves=cond_leaves_default())
             cwj = cw32.astype(jnp.int8)
             P3 = Pj[None]
             lperm = (jnp.take_along_axis(carry[I_LP], P3, axis=1)

@@ -146,6 +146,27 @@ def test_pallas_traced_kernel_override_equals_xla(monkeypatch):
     np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), rtol=1e-5)
 
 
+def test_pallas_cond_leaves_kernel_equals_xla(monkeypatch):
+    """POLAR_TPU_COND_KERNEL=1 adds a runtime frozen-leaf skip (lax.cond
+    on the SMEM frozen flag) to the traced kernel; both cond branches
+    compute the branchless form's exact expressions, so the engine must
+    stay bit-identical to the plain XLA sweep."""
+    from polar_tpu.models.polar.scan_core import scl_sweep, scl_sweep_hybrid
+    monkeypatch.setenv("POLAR_TPU_TRACED_KERNEL", "1")
+    monkeypatch.setenv("POLAR_TPU_COND_KERNEL", "1")
+    n = 32
+    frozen, _ = generate_5g_ranking(n // 2, n)
+    mask = np.zeros(n, bool)
+    mask[frozen] = True
+    rng = np.random.default_rng(29)
+    llr = jnp.asarray(rng.normal(0, 3, (n, 128)), jnp.float32)
+    ua, pa = scl_sweep(llr, mask, 8)
+    ub, pb = scl_sweep_hybrid(llr, mask, 8, lower_stages=2,
+                              use_pallas=True)
+    np.testing.assert_array_equal(np.asarray(ua), np.asarray(ub))
+    np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), rtol=1e-5)
+
+
 def test_pallas_blocked_subtree_equals_xla():
     """L=16 routes to the blocked kernel (lists of (8, TB) blocks); one
     tiny config keeps XLA-CPU's interpret-mode compile tolerable — the

@@ -50,6 +50,23 @@ def test_scl_subtree_compiled_equals_interpret(b, L):
                                       err_msg=name)
 
 
+@pytest.mark.parametrize("b", [3, 5])
+def test_scl_subtree_cond_leaves_compiled_equals_branchless(b):
+    """The cond-leaves traced kernel (runtime lax.cond frozen-leaf skip,
+    POLAR_TPU_COND_KERNEL=1) must compile under Mosaic and stay
+    bit-identical to the branchless traced kernel — both compiled."""
+    _tpu_or_skip()
+    from polar_tpu.models.polar.pallas_scl import subtree_pallas
+    a, frz, pm = _rand_subtree(b, 8, 256, seed=b * 11)
+    outb = subtree_pallas(a, frz, pm, b=b, L=8, llr_max=30.0,
+                          mode="minsum", cond_leaves=False)
+    outc = subtree_pallas(a, frz, pm, b=b, L=8, llr_max=30.0,
+                          mode="minsum", cond_leaves=True)
+    for x, y, name in zip(outb, outc, ("cw", "P", "pm")):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                      err_msg=name)
+
+
 @pytest.mark.parametrize("b", [3, 5, 8])
 def test_sc_subtree_compiled_equals_interpret(b):
     _tpu_or_skip()
