@@ -32,6 +32,7 @@ class PolarConfig:
     num_devices: int = 0       # 0 = all local devices (data-parallel MC)
     target_block_errs: int = 1000
     bp_iter: int = 20          # BP decoder iterations (algos=[...,bp])
+    osd_t: int = 2             # OSD order for non-F2 kernel codes (--kern)
     # Hashemi rate-0/rep pruned SCL schedule (the my_sn reference default;
     # the CLI-reference x_run SCL is plain). Tri-state: None = the engine
     # default (fast on the unrolled engine, plain otherwise); an explicit

@@ -27,16 +27,33 @@ from polar_tpu.plotting import PlotBER
 
 
 def gen_code(c: PolarConfig, name: str, mode: str = "sc"):
-    """Build (encoder, decoder, system model) for the configured code."""
+    """Build (encoder, decoder, system model) for the configured code.
+
+    ``--kern`` (reference ``x_run_sn_polar/d_kernels.py`` zoo) selects the
+    kernel for BOTH construction and encoding. F2 runs the butterfly
+    encoder + SC/SCL/BP decode chain; any other kernel runs the dense-G
+    encoder (``c @ G % 2``, reference ``polar/enc.py:30-43``) with OSD as
+    the decoder (the only universal one — the reference's SC/SCL are
+    F2-only too)."""
     a = math.log(c.n, 2)
     assert a.is_integer(), "n must be a power of 2"
+    kern_name = (c.kern or "F2").upper()
+    if kern_name != "F2":
+        from polar_tpu.models.polar.kernels import get_kernel
+        kern = get_kernel(kern_name)
+    else:
+        kern = ARIKAN_F2
     if c.construction == "rm":
-        _, _, frozen_pos = get_kern_frozen_bits(c.n, c.n - c.k, ARIKAN_F2)
+        _, _, frozen_pos = get_kern_frozen_bits(c.n, c.n - c.k, kern)
     elif c.construction == "rm-ref":
         # the reference CLI's EXACT frozen sets (its unstable-argsort tie
         # order, captured by running it; construction.py)
         from polar_tpu.models.polar.construction import get_ref_rm_frozen_bits
-        frozen_pos = get_ref_rm_frozen_bits(c.n, c.n - c.k)
+        frozen_pos = get_ref_rm_frozen_bits(c.n, c.n - c.k, kern_name)
+    elif kern_name != "F2":
+        raise ValueError(
+            f"--construction {c.construction} is F2-only; use rm/rm-ref "
+            f"with --kern {kern_name}")
     elif c.construction == "5g":
         frozen_pos, _ = generate_5g_ranking(c.k, c.n)
     elif c.construction == "ga":
@@ -45,6 +62,12 @@ def gen_code(c: PolarConfig, name: str, mode: str = "sc"):
     else:
         raise ValueError(f"unknown construction {c.construction!r}")
     f_mode = "minsum" if c.mode in ("max", "minsum") else "exact"
+    if mode == "osd" or kern_name != "F2":
+        from polar_tpu.models.polar.dense import (
+            DenseKernelEncoder, DenseKernelDecoder)
+        enc = DenseKernelEncoder(frozen_pos, c.n, kern)
+        dec = DenseKernelDecoder(enc, t=c.osd_t)
+        return [SystemAWGNModel(c.n, c.k, enc, dec), name]
     enc = PolarEncoder(frozen_pos, c.n)
     if mode == "sc":
         dec = PolarSCDecoder(frozen_pos, c.n, mode=f_mode)
@@ -65,13 +88,19 @@ def main(c: PolarConfig = None):
         c = parse_config()
     print(c.algos, type(c.algos))
     ebno_db = np.arange(0, c.snr_end, 0.5)
-    codes_under_test = [gen_code(c, "SC", mode="sc")]
-    if "scl" in c.algos:
-        codes_under_test.append(
-            gen_code(c, f"SCL-{c.list_size}", mode="scl"))
-    if "bp" in c.algos:
-        codes_under_test.append(
-            gen_code(c, f"BP-{c.bp_iter}", mode="bp"))
+    if (c.kern or "F2").upper() != "F2":
+        # non-F2 kernel: dense-G encode + OSD decode is the whole chain
+        # (SC/SCL/BP are F2-only, as in the reference)
+        codes_under_test = [gen_code(
+            c, f"{c.kern.upper()} OSD-{c.osd_t}", mode="osd")]
+    else:
+        codes_under_test = [gen_code(c, "SC", mode="sc")]
+        if "scl" in c.algos:
+            codes_under_test.append(
+                gen_code(c, f"SCL-{c.list_size}", mode="scl"))
+        if "bp" in c.algos:
+            codes_under_test.append(
+                gen_code(c, f"BP-{c.bp_iter}", mode="bp"))
 
     from polar_tpu.utils.profiling import (decode_complexity, bp_complexity,
                                            complexity_line)
@@ -79,7 +108,9 @@ def main(c: PolarConfig = None):
     ber_plot = PlotBER(f"Performance of Short Len Codes (k={c.k}, n={c.n})")
     for model, name in codes_under_test:
         print("\nRunning: " + name)
-        if name.startswith("BP"):
+        if "OSD" in name:
+            comp = None  # no closed-form meter for the OSD pattern sweep
+        elif name.startswith("BP"):
             comp = bp_complexity(c.n, c.k, c.bp_iter)
         else:
             L = c.list_size if name.startswith("SCL") else 1
@@ -88,7 +119,8 @@ def main(c: PolarConfig = None):
             comp = decode_complexity(
                 c.n, c.k, L, fast=fast,
                 frozen_mask=getattr(dec, "_frozen_mask", None))
-        print(complexity_line(name, comp))
+        if comp is not None:
+            print(complexity_line(name, comp))
         ber_plot.simulate(
             model, ebno_dbs=ebno_db, batch_size=c.bs,
             target_block_errs=c.target_block_errs, legend=name,
