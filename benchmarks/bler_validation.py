@@ -109,7 +109,8 @@ def main():
                       "scl8_n1024_fast": "northstar",
                       "5g_cascl8_k400_n1000": "fiveg",
                       "hybscl8_5g_k400_n1000": "fiveg",
-                      "sc_n1024": "sc"}
+                      "sc_n1024": "sc",
+                      "sc": "sc_k32", "scl8": "scl8_k32"}
         for name, which in row_to_ref.items():
             r, rows = results.get(name), _ref_rows(which)
             if r is None or rows is None:
@@ -127,11 +128,19 @@ def main():
                 ("sc", pt.PolarSCDecoder(frozen, n, mode="minsum")),
                 ("scl8", pt.PolarSCLDecoder(frozen, n, list_size=8,
                                             mode="minsum"))):
-            rows = {f"{e:.1f}": {"bler": BASELINE[name].get(float(e))}
-                    for e in ebno}
+            # prefer the deep (>=4000 blocks/point) reference baseline
+            # measured by ref_baseline_bler.py --chains sc_k32,scl8_k32
+            # (VERDICT r3 task 7); fall back to BASELINE.md's original
+            # 100-block rows when the artifact is absent
+            rows = _ref_rows(f"{name}_k32")
+            shallow = rows is None
+            if shallow:
+                rows = {f"{e:.1f}": {"bler": BASELINE[name].get(float(e))}
+                        for e in ebno}
             _run(pt.SystemAWGNModel(n, k, enc, dec), ebno, args, name,
                  rows, results)
-            results[name]["baseline_blocks"] = [100] * len(ebno)
+            if shallow:
+                results[name]["baseline_blocks"] = [100] * len(ebno)
 
     if "northstar" in chains:
         # bench.py's exact config: 5G-table frozen set, min-sum SCL-8

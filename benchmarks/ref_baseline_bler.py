@@ -79,6 +79,43 @@ def run_sc(tc, rng, ebno_dbs, n_blocks, bs):
     return {"config": "sc_minsum_k512_n1024_5gtable", "rows": rows}
 
 
+def run_k32(tc, rng, ebno_dbs, n_blocks, bs, which="scl8"):
+    """Deep reference baseline for the CLI chain (k=32, n=64, RM min-weight
+    frozen set with the reference's OWN torch-argsort tie order —
+    ``x_run_sn_polar/polar/froze.py:4-16``) at >= 4000 blocks/point
+    (VERDICT r3 task 7; BASELINE.md's original rows were 100 blocks)."""
+    from polar.froze import get_Kern_frozen_bits
+    from polar.polar_sc import SC_Dec as XRunSC
+    from polar.polar_scl import SCL_Dec as XRunSCL
+
+    k, n = 32, 64
+    F2 = tc.tensor(np.array([[1, 0], [1, 1]], dtype=np.int64))
+    G_t, _, frozen_t = get_Kern_frozen_bits(n, n - k, F2)
+    G = G_t.numpy()
+    frozen_pos = frozen_t.numpy()
+    info_pos = np.setdiff1d(np.arange(n), frozen_pos)
+    dec = (XRunSCL(frozen_pos, n, list_size=8) if which == "scl8"
+           else XRunSC(frozen_pos, n))
+    rows = {}
+    for e in ebno_dbs:
+        blk_err = blocks = 0
+        t0 = time.time()
+        while blocks < n_blocks:
+            u = rng.integers(0, 2, size=(bs, k)).astype(np.float32)
+            cw_u = np.zeros((bs, n), dtype=np.int64)
+            cw_u[:, info_pos] = u
+            c = (cw_u @ G) % 2
+            llr = bit_llrs(rng, c.astype(np.float32), e, k / n)
+            u_hat = dec(tc.tensor(llr)).numpy()
+            blk_err += int(np.any(u_hat != u, axis=1).sum())
+            blocks += bs
+        rows[f"{e:.1f}"] = {"bler": blk_err / blocks, "blocks": blocks,
+                            "secs": round(time.time() - t0, 1)}
+        print(f"{which}_k32 {e:.1f} dB: BLER {blk_err / blocks:.4f} "
+              f"({blocks} blocks, {rows[f'{e:.1f}']['secs']}s)", flush=True)
+    return {"config": f"{which}_minsum_k32_n64_rm_ref_ties", "rows": rows}
+
+
 def run_northstar(tc, rng, ebno_dbs, n_blocks, bs):
     from my_sn.fec.polar.utils import generate_5g_ranking
     from polar.polar_scl import SCL_Dec as XRunSCL
@@ -148,8 +185,9 @@ def main():
     ap.add_argument("--blocks", type=int, default=400)
     ap.add_argument("--bs", type=int, default=40)
     ap.add_argument("--chains", default="northstar,fiveg",
-                    help="comma list: sc, northstar, fiveg (others keep "
-                         "their previous rows from --out)")
+                    help="comma list: sc, northstar, fiveg, sc_k32, "
+                         "scl8_k32 (others keep their previous rows "
+                         "from --out)")
     ap.add_argument("--out", default="benchmarks/ref_baseline_bler.json")
     args = ap.parse_args()
     chains = set(args.chains.split(","))
@@ -161,7 +199,8 @@ def main():
     # northstar/fiveg rows predate this and were produced by sequential
     # draws from the base stream — equivalent within their MC depth)
     chain_rng = {name: np.random.default_rng([20260816, i])
-                 for i, name in enumerate(["sc", "northstar", "fiveg"])}
+                 for i, name in enumerate(["sc", "northstar", "fiveg",
+                                           "sc_k32", "scl8_k32"])}
 
     out = {"method": "reference code run in-place, per-bit AWGN logits "
                      "(see module docstring); per-chain seeds "
@@ -177,6 +216,15 @@ def main():
         out["northstar"] = run_northstar(tc, chain_rng["northstar"],
                                          [1.0, 1.5, 2.0, 2.5],
                                          args.blocks, args.bs)
+    k32_grid = [float(e) for e in np.arange(0.0, 5.0, 0.5)]
+    if "sc_k32" in chains:
+        out["sc_k32"] = run_k32(tc, chain_rng["sc_k32"], k32_grid,
+                                max(args.blocks, 4000), args.bs,
+                                which="sc")
+    if "scl8_k32" in chains:
+        out["scl8_k32"] = run_k32(tc, chain_rng["scl8_k32"], k32_grid,
+                                  max(args.blocks, 4000), args.bs,
+                                  which="scl8")
     if "fiveg" in chains:
         out["fiveg"] = run_5g(tc, chain_rng["fiveg"],
                               [1.0, 1.5, 2.0, 2.5, 3.0],
