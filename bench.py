@@ -29,6 +29,23 @@ import polar_tpu as pt
 
 BASELINE_INFO_BPS = 2690.0  # BASELINE.md: SCL-8 decode+chain, k=512 n=1024
 
+# snapshot user-set values of the env knobs the ladder mutates, so a
+# non-cond config doesn't clobber them for the rest of the process
+# (ADVICE r3: bench used to pop them unconditionally)
+_USER_ENV = {k: os.environ.get(k) for k in
+             ("POLAR_TPU_VMEM_LIMIT_MIB", "POLAR_TPU_COND_KERNEL",
+              "POLAR_TPU_TRACED_KERNEL", "POLAR_TPU_LOWER_STAGES")}
+
+
+def _set_env(key, value):
+    """Set/unset an env knob; ``None`` restores the user's original value."""
+    if value is None:
+        value = _USER_ENV[key]
+    if value is None:
+        os.environ.pop(key, None)
+    else:
+        os.environ[key] = str(value)
+
 
 def build_step(k, n, L, bs, lower_stages, fast_scl, traced=False,
                cond32=False):
@@ -41,20 +58,15 @@ def build_step(k, n, L, bs, lower_stages, fast_scl, traced=False,
     the cond kernel's ~2.2x scf.if stack spill needs the raised limit to
     keep b=9/TB=128 (measured 194.4M bit/s vs 160.7M branchless, both
     traced, cold compile ~6 min)."""
-    if lower_stages is None:
-        os.environ.pop("POLAR_TPU_LOWER_STAGES", None)
-    else:
-        os.environ["POLAR_TPU_LOWER_STAGES"] = str(lower_stages)
-    if traced:
-        os.environ["POLAR_TPU_TRACED_KERNEL"] = "1"
-    else:
-        os.environ.pop("POLAR_TPU_TRACED_KERNEL", None)
+    _set_env("POLAR_TPU_LOWER_STAGES",
+             None if lower_stages is None else lower_stages)
+    _set_env("POLAR_TPU_TRACED_KERNEL", "1" if traced else None)
     if cond32:
-        os.environ["POLAR_TPU_COND_KERNEL"] = "1"
-        os.environ["POLAR_TPU_VMEM_LIMIT_MIB"] = "32"
+        _set_env("POLAR_TPU_COND_KERNEL", "1")
+        _set_env("POLAR_TPU_VMEM_LIMIT_MIB", "32")
     else:
-        os.environ.pop("POLAR_TPU_COND_KERNEL", None)
-        os.environ.pop("POLAR_TPU_VMEM_LIMIT_MIB", None)
+        _set_env("POLAR_TPU_COND_KERNEL", None)
+        _set_env("POLAR_TPU_VMEM_LIMIT_MIB", None)
     frozen, _ = pt.generate_5g_ranking(k, n)
     enc = pt.PolarEncoder(frozen, n)
     dec = pt.PolarSCLDecoder(frozen, n, list_size=L,
@@ -118,9 +130,22 @@ def main():
         return os.path.join(cache_dir, f".bench_ok_{tag}") if cache_dir \
             else ""
 
+    def _legacy_marker(cfg):
+        # pre-cond marker format (round 3 and earlier); valid evidence of a
+        # warm executable for cond=False configs only (ADVICE r3)
+        if cfg[3]:
+            return ""
+        tag = "fast{}_b{}_traced{}_bs{}_L{}".format(
+            int(cfg[0]), "auto" if cfg[1] is None else cfg[1],
+            int(cfg[2]), bs, L)
+        return os.path.join(cache_dir, f".bench_ok_{tag}") if cache_dir \
+            else ""
+
     def is_warm(cfg):
-        m = marker(cfg)
-        return bool(m and os.path.exists(m))
+        for m in (marker(cfg), _legacy_marker(cfg)):
+            if m and os.path.exists(m):
+                return True
+        return False
 
     specialized = [(f, b, False, False)
                    for f in ([True, False] if fast_default else [False])
@@ -161,8 +186,8 @@ def main():
             break
         except Exception as e:  # compile OOM / Mosaic error: step down
             print(f"# bench config fast={fast_cfg} lower_stages={b_cfg} "
-                  f"traced={traced_cfg} failed: {type(e).__name__}: "
-                  f"{str(e)[:300]}", file=sys.stderr)
+                  f"traced={traced_cfg} cond={cond_cfg} failed: "
+                  f"{type(e).__name__}: {str(e)[:300]}", file=sys.stderr)
             step = dec = None
     if step is None:
         print(json.dumps({

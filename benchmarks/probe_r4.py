@@ -1,0 +1,137 @@
+"""Round-4 TPU measurement session (one long-lived process).
+
+Backend init on the axon relay costs minutes per process, so this probe
+batches every round-4 design measurement into ONE process and prints one
+JSON line per step (stdout), diagnostics to stderr:
+
+* ``init``       — backend init wall-clock
+* ``parcompile`` — do two Mosaic compiles overlap when issued from two
+                   Python threads? (gates the bench parallel-warm design)
+* ``cold:*``     — cold-compile wall-clock of the named kernel configs
+                   (compile cache disabled; AOT .lower().compile(), no
+                   input materialization)
+* ``run:*``      — execution throughput of a compiled config
+
+Usage: python benchmarks/probe_r4.py step1 step2 ...  (default: init)
+"""
+
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+STEPS = sys.argv[1:] or ["init"]
+
+
+def emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+t0 = time.time()
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", None)  # every compile cold
+import polar_tpu  # noqa: F401  (relay preflight)
+from polar_tpu.models.polar.pallas_scl import subtree_pallas
+from polar_tpu.models.polar.construction import generate_5g_ranking
+from polar_tpu.models.polar.scan_core import fast_schedule, split_fast_schedule
+
+dev = jax.devices()[0]
+emit(step="init", secs=round(time.time() - t0, 1), device=str(dev))
+
+
+def aot_scl(b, L, bs, *, traced=False, cond=False, sched=None, tile=None,
+            vmem_mib=None):
+    """AOT-compile one SCL subtree kernel config; returns (secs, compiled)."""
+    if vmem_mib:
+        os.environ["POLAR_TPU_VMEM_LIMIT_MIB"] = str(vmem_mib)
+    else:
+        os.environ.pop("POLAR_TPU_VMEM_LIMIT_MIB", None)
+    a = jax.ShapeDtypeStruct((1 << b, L, bs), jnp.float32)
+    pm = jax.ShapeDtypeStruct((L, bs), jnp.float32)
+    kw = dict(b=b, L=L, llr_max=30.0, mode="minsum", interpret=False,
+              tile=tile)
+    t = time.time()
+    if sched is not None:
+        lowered = subtree_pallas.lower(a, None, pm, sched_static=sched, **kw)
+    elif traced:
+        frz = jax.ShapeDtypeStruct((1 << b,), jnp.int32)
+        lowered = subtree_pallas.lower(a, frz, pm, cond_leaves=cond, **kw)
+    else:
+        frz_static = tuple(int(x) for x in
+                           (np.random.default_rng(0).random(1 << b) < 0.5))
+        lowered = subtree_pallas.lower(a, None, pm, frz_static=frz_static,
+                                       **kw)
+    comp = lowered.compile()
+    return round(time.time() - t, 1), comp
+
+
+import numpy as np
+
+n_ns, k_ns = 1024, 512
+frozen_ns, _ = generate_5g_ranking(k_ns, n_ns)
+mask_ns = np.zeros(n_ns, dtype=bool)
+mask_ns[frozen_ns] = True
+
+
+def ns_scheds(b):
+    """The north-star code's per-subtree fast schedules at depth b."""
+    units, _ = split_fast_schedule(mask_ns, b)
+    return [u[2] for u in units if u[0] == "sub"]
+
+
+for step in STEPS:
+    if step == "init":
+        continue
+
+    elif step == "parcompile":
+        # two medium traced kernels, different shapes (no jit-cache hits).
+        # serial first, then two fresh shapes in parallel threads
+        s1, _ = aot_scl(5, 8, 1024, traced=True, tile=128)
+        s2, _ = aot_scl(5, 8, 2048, traced=True, tile=256)
+        res = {}
+
+        def work(tag, bs, tile):
+            res[tag] = aot_scl(5, 8, bs, traced=True, tile=tile)[0]
+
+        t = time.time()
+        th1 = threading.Thread(target=work, args=("a", 4096, 512))
+        th2 = threading.Thread(target=work, args=("b", 8192, 1024))
+        th1.start(); th2.start(); th1.join(); th2.join()
+        par = round(time.time() - t, 1)
+        emit(step="parcompile", serial=[s1, s2],
+             par_each=[res.get("a"), res.get("b")], par_wall=par,
+             overlap=bool(par < res.get("a", 0) + res.get("b", 0) - 2))
+
+    elif step.startswith("cold:"):
+        # cold:<kind>:<b>[:tile] with kind in traced/cond/fast/static
+        parts = step.split(":")
+        kind, b = parts[1], int(parts[2])
+        tile = int(parts[3]) if len(parts) > 3 else None
+        bs = 8192
+        try:
+            if kind == "traced":
+                secs, _ = aot_scl(b, 8, bs, traced=True, tile=tile)
+            elif kind == "cond":
+                secs, _ = aot_scl(b, 8, bs, traced=True, cond=True,
+                                  tile=tile, vmem_mib=32)
+            elif kind == "fast":
+                scheds = ns_scheds(b)
+                secs = []
+                for sch in scheds:
+                    s, _ = aot_scl(b, 8, bs, sched=tuple(sch), tile=tile)
+                    secs.append(s)
+            elif kind == "static":
+                secs, _ = aot_scl(b, 8, bs, tile=tile)
+            emit(step=step, secs=secs)
+        except Exception as e:
+            emit(step=step, error=f"{type(e).__name__}: {str(e)[:300]}")
+
+    else:
+        emit(step=step, error="unknown step")
+
+emit(step="done", total_secs=round(time.time() - t0, 1))

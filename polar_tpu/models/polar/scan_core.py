@@ -422,17 +422,22 @@ def resolve_lower_stages(S: int, bs: int, use_pallas: bool,
         # lower_stages=) skip this cap.
         cap = min(cap, BLOCKED_B_CAP)
     vlim = pk._vmem_limit_override()  # POLAR_TPU_VMEM_LIMIT_MIB, if set
-    # cond-leaves (POLAR_TPU_COND_KERNEL=1) only engages on the traced
-    # kernel, but its ~2.2x scf.if stack spill must be budgeted whenever
-    # the env asks for it — a static kernel under-picking b by one when
-    # the flag is (unusually) combined with the unrolled outer is the
-    # safe direction
-    cond = (L is not None and L <= 8 and pk.cond_leaves_default())
+    # cond-leaves (POLAR_TPU_COND_KERNEL=1) only engages on the TRACED
+    # kernel, whose ~2.2x scf.if stack spill must then be budgeted. The
+    # traced kernel runs when forced by env or when the outer sweep is a
+    # lax.scan (m = 2^(S-b) > UNROLL_OUTER_MAX_M — static frozen sets
+    # cannot ride scan carries); the unrolled/static outer never executes
+    # the cond body, so budgeting it there would under-pick b (ADVICE r3)
+    cond_env = (L is not None and L <= 8 and pk.cond_leaves_default())
+    force_traced = os.environ.get("POLAR_TPU_TRACED_KERNEL") == "1"
     for b in range(min(cap, S - 1), 0, -1):
+        cond = cond_env and (force_traced
+                             or (1 << (S - b)) > UNROLL_OUTER_MAX_M)
         # SC budgets 2.2x for the Mosaic stack spill (see sc_subtree_pallas)
         bytes_fn = ((lambda t: int(2.2 * pk.sc_vmem_bytes(b, t)))
                     if L is None
-                    else (lambda t: pk.scl_vmem_bytes(b, L, t, cond=cond)))
+                    else (lambda t, c=cond: pk.scl_vmem_bytes(b, L, t,
+                                                              cond=c)))
         try:
             pk.fit_tile(bs, bytes_fn, vmem_limit=vlim)
             return b

@@ -42,10 +42,19 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers",
         "tpu: needs the real TPU chip (POLAR_TPU_TEST_TPU=1 pytest -m tpu)")
+    config.addinivalue_line(
+        "markers",
+        "slow: long cold-compile cases, opt-in via -m 'tpu and slow'")
 
 
 def pytest_collection_modifyitems(config, items):
     if TPU_LANE:
+        if os.environ.get("POLAR_TPU_TEST_SLOW") != "1":
+            skip_slow = pytest.mark.skip(
+                reason="slow cold-compile case (set POLAR_TPU_TEST_SLOW=1)")
+            for item in items:
+                if "slow" in item.keywords:
+                    item.add_marker(skip_slow)
         return
     skip = pytest.mark.skip(
         reason="TPU lane disabled (set POLAR_TPU_TEST_TPU=1)")

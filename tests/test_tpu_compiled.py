@@ -67,6 +67,26 @@ def test_scl_subtree_cond_leaves_compiled_equals_branchless(b):
                                       err_msg=name)
 
 
+@pytest.mark.slow
+def test_scl_subtree_cond_b9_vmem32_equals_branchless(monkeypatch):
+    """The SHIPPED bench cond config (b=9, TB=128 under a 32 MiB scoped-
+    VMEM limit) vs branchless at the same shape — compiled. Opt-in
+    (``-m "tpu and slow"``): the cond kernel's cold Mosaic compile is
+    ~6 min (ADVICE r3: the b=3/5 cases alone would let a large-config
+    lowering issue escape CI)."""
+    _tpu_or_skip()
+    from polar_tpu.models.polar.pallas_scl import subtree_pallas
+    monkeypatch.setenv("POLAR_TPU_VMEM_LIMIT_MIB", "32")
+    a, frz, pm = _rand_subtree(9, 8, 256, seed=99)
+    outb = subtree_pallas(a, frz, pm, b=9, L=8, llr_max=30.0,
+                          mode="minsum", cond_leaves=False)
+    outc = subtree_pallas(a, frz, pm, b=9, L=8, llr_max=30.0,
+                          mode="minsum", cond_leaves=True)
+    for x, y, name in zip(outb, outc, ("cw", "P", "pm")):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                      err_msg=name)
+
+
 @pytest.mark.parametrize("b", [3, 5, 8])
 def test_sc_subtree_compiled_equals_interpret(b):
     _tpu_or_skip()
