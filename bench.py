@@ -104,14 +104,19 @@ def main():
     # fused subtrees, then the plain (non-pruned) engine — never die on
     # one bad config. BENCH_FAST_SCL=0 pins the plain engine.
     #
-    # COLD-CACHE GUARD: the fast/static code-specialized kernels cold-
-    # Mosaic-compile in ~10-15 min at b=9 — over a compile-time-budgeted
-    # environment's limit (the round-2 driver ran with an empty cache; a
-    # kill-on-timeout there can't be caught by this in-process ladder).
-    # With an empty compile cache the ladder therefore leads with the
-    # generic traced kernel (driver-validated cold at b=9: 160.7M bit/s)
-    # and only tries the specialized configs when the cache is warm or
-    # BENCH_ALLOW_SLOW_COMPILE=1.
+    # The specialized fast config leads even on a COLD cache (round-4
+    # change): its full-chain cold compile measured ~9 min end-to-end and
+    # captured 262.1M bit/s (2026-08-19, empty JAX_COMPILATION_CACHE_DIR;
+    # the subtree kernels alone compile in ~150 s — benchmarks/probe_r4.py).
+    # Round 3's 10-15 min estimate no longer holds on the current compile
+    # service. BENCH_COLD_GUARD=1 restores the round-3 behavior (traced
+    # generic ladder first when no warm marker exists) for compile-time-
+    # budgeted environments.
+    t_init = time.perf_counter()
+    _ = jax.devices()  # force backend init now so ladder timings are clean
+    print(f"# backend init {time.perf_counter() - t_init:.1f}s",
+          file=sys.stderr)
+
     env_b = os.environ.get("POLAR_TPU_LOWER_STAGES")
     bees = [int(env_b)] if env_b is not None else [None]
     fast_default = os.environ.get("BENCH_FAST_SCL", "1") != "0"
@@ -158,20 +163,22 @@ def main():
     traced_ladder = ([(False, bees[0], True, True)] if env_b is None
                      else []) + \
         [(False, b, True, False) for b in bees + [8, 7, 5]]
-    slow_ok = (pt.TPU_RELAY_FALLBACK
-               or os.environ.get("BENCH_ALLOW_SLOW_COMPILE") == "1")
-    if slow_ok or is_warm(specialized[0]):
+    cold_guard = (os.environ.get("BENCH_COLD_GUARD") == "1"
+                  and os.environ.get("BENCH_ALLOW_SLOW_COMPILE") != "1"
+                  and not pt.TPU_RELAY_FALLBACK)
+    if not cold_guard or is_warm(specialized[0]):
         ladder = specialized + traced_ladder
     else:
-        # lead with any specialized config already proven warm, else the
-        # traced (generic) ladder whose cold Mosaic compile is minutes
+        # BENCH_COLD_GUARD=1: lead with any specialized config already
+        # proven warm, else the traced (generic) ladder whose cold Mosaic
+        # compile is minutes shorter (round-3 behavior)
         warm_specialized = [c for c in specialized if is_warm(c)]
         if not warm_specialized:
-            print("# cold compile cache: leading with the traced (generic) "
-                  "kernel ladder; set BENCH_ALLOW_SLOW_COMPILE=1 for the "
-                  "code-specialized configs", file=sys.stderr)
+            print("# BENCH_COLD_GUARD: cold cache -> leading with the "
+                  "traced (generic) kernel ladder", file=sys.stderr)
         ladder = warm_specialized + traced_ladder
     step = dec = None
+    t_ladder = time.perf_counter()
     for cfg in ladder:
         fast_cfg, b_cfg, traced_cfg, cond_cfg = cfg
         try:
@@ -179,6 +186,10 @@ def main():
                                    traced=traced_cfg, cond32=cond_cfg)
             # compile + warmup (excluded from timing)
             float(step(jax.random.PRNGKey(0), jnp.float32(2.0)))
+            print(f"# config fast={fast_cfg} b={b_cfg} traced={traced_cfg} "
+                  f"cond={cond_cfg} compiled+warm in "
+                  f"{time.perf_counter() - t_ladder:.1f}s",
+                  file=sys.stderr)
             m = marker(cfg)
             if m:
                 os.makedirs(cache_dir, exist_ok=True)
