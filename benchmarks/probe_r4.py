@@ -131,6 +131,39 @@ for step in STEPS:
         except Exception as e:
             emit(step=step, error=f"{type(e).__name__}: {str(e)[:300]}")
 
+    elif step == "bf16":
+        # does Mosaic lower (a) bf16 arithmetic on (16, 128) tiles and
+        # (b) dynamic-gather (take_along_axis) on a bf16 (8, TB) tile?
+        # Gates the bf16 decode-datapath design (VERDICT r3 task 5).
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+        from jax import lax
+
+        def k_arith(x_ref, o_ref):
+            x = x_ref[:]
+            o_ref[:] = jnp.minimum(jnp.abs(x), 2.0) * jnp.sign(x) + x
+
+        def k_gather(x_ref, p_ref, o_ref):
+            o_ref[:] = jnp.take_along_axis(x_ref[:], p_ref[:], axis=0)
+
+        rng = np.random.default_rng(0)
+        xb = jnp.asarray(rng.normal(0, 2, (16, 256)), jnp.bfloat16)
+        ptr = jnp.asarray(rng.integers(0, 8, (8, 256)), jnp.int32)
+        x8 = jnp.asarray(rng.normal(0, 2, (8, 256)), jnp.bfloat16)
+        out = {}
+        for name, kern, args, oshape in (
+                ("arith", k_arith, (xb,),
+                 jax.ShapeDtypeStruct((16, 256), jnp.bfloat16)),
+                ("gather", k_gather, (x8, ptr),
+                 jax.ShapeDtypeStruct((8, 256), jnp.bfloat16))):
+            try:
+                r = pl.pallas_call(kern, out_shape=oshape)(*args)
+                r.block_until_ready()
+                out[name] = "ok"
+            except Exception as e:
+                out[name] = f"{type(e).__name__}: {str(e)[:200]}"
+        emit(step="bf16", **out)
+
     else:
         emit(step=step, error="unknown step")
 

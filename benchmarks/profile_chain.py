@@ -33,17 +33,24 @@ import jax
 import jax.numpy as jnp
 
 
-def timed(fn, args_fn, iters, burn=6):
+def timed(fn, args_fn, iters, burn=12, reps=2):
     """Pipelined wall-clock of ``fn`` over ``iters`` dispatches (one sync);
-    ``args_fn(i)`` supplies per-iteration args. Returns seconds/iter."""
-    outs = [fn(*args_fn(i)) for i in range(burn)]  # ramp burn
-    float(jnp.sum(jax.tree_util.tree_leaves(outs[-1])[0]))
-    t0 = time.perf_counter()
-    outs = [fn(*args_fn(i)) for i in range(iters)]
-    acc = sum(jnp.sum(jax.tree_util.tree_leaves(o)[0].astype(jnp.float32))
-              for o in outs)
-    float(acc)
-    return (time.perf_counter() - t0) / iters
+    ``args_fn(i)`` supplies per-iteration args. Returns min seconds/iter
+    over ``reps`` measured windows — the relay's dispatch ramp (~50 ms/
+    batch on the FIRST loops of every new program) poisons single windows,
+    so burn generously and keep the best window."""
+    def window():
+        t0 = time.perf_counter()
+        outs = [fn(*args_fn(i)) for i in range(iters)]
+        acc = sum(jnp.sum(jax.tree_util.tree_leaves(o)[0]
+                          .astype(jnp.float32)) for o in outs)
+        float(acc)
+        return (time.perf_counter() - t0) / iters
+
+    outs = [fn(*args_fn(i)) for i in range(burn)]  # compile + ramp burn
+    float(jnp.sum(jax.tree_util.tree_leaves(outs[-1])[0]
+                  .astype(jnp.float32)))
+    return min(window() for _ in range(reps))
 
 
 def main():

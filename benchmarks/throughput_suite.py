@@ -78,6 +78,20 @@ def chain_bps_host(model, k, bs, iters=16, ebno_db=2.0):
     return k * bs * iters / dt, errs / (k * bs * iters)
 
 
+def _stamp():
+    """Measurement provenance: ISO date + current git revision."""
+    import subprocess
+    import datetime
+    try:
+        rev = subprocess.check_output(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            text=True).strip()
+    except Exception:
+        rev = "unknown"
+    return f"{datetime.date.today().isoformat()} @{rev}"
+
+
 def main():
     results = {"device": str(jax.devices()[0])}
     bs = int(os.environ.get("SUITE_BS", "8192"))
@@ -201,7 +215,8 @@ def main():
             bps, ber = chain_bps(model, k, row_bs, ebno_db=ebno)
             results[name] = {"info_bits_per_s": round(bps, 1),
                              f"ber_at_{ebno:.0f}db": round(ber, 5),
-                             "bs": row_bs}
+                             "bs": row_bs,
+                             "measured_at": _stamp()}
             print(f"{name:24s}: {bps/1e6:8.2f}M info bit/s "
                   f"(ber@{ebno:.0f}dB {ber:.4f})", flush=True)
         except Exception as e:  # keep surveying on per-config failure;

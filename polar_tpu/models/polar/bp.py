@@ -57,7 +57,9 @@ class PolarBPDecoder:
                  mode: str = "minsum", hard_out: bool = True,
                  llr_max: float = 30.0, msf: float = 0.9375,
                  early_stop: bool = True, check_every: int = 2,
-                 use_pallas=None, output_dtype=jnp.float32):
+                 use_pallas=None, output_dtype=jnp.float32,
+                 two_pass: bool = False, first_pass_iters: int = 8,
+                 min_capacity: int = 128):
         n = int(n)
         assert np.log2(n) == int(np.log2(n)), "n must be a power of 2."
         assert num_iter >= 1
@@ -94,6 +96,26 @@ class PolarBPDecoder:
         # bit-identical to the XLA engine (tests/test_bp.py).
         self._use_pallas = use_pallas
         self._jit_decode = jax.jit(self._decode_2d)
+        # two-pass serving path (throughput lever at operating SNR): a
+        # cheap first pass of ``first_pass_iters`` sweeps accepts the
+        # converged blocks (G-matrix criterion, identical to the in-decode
+        # early stop), and only the failures re-decode at the full
+        # ``num_iter`` budget in compacted capacity buckets. BP has no
+        # cross-lane coupling and the full-budget re-decode replays the
+        # same sweep/freeze trajectory, so outputs are BIT-IDENTICAL to
+        # the single-pass decoder (tests/test_bp.py).
+        self.two_pass = bool(two_pass)
+        self.requires_host = self.two_pass
+        self.first_pass_iters = min(int(first_pass_iters), self.num_iter)
+        self.min_capacity = int(min_capacity)
+        self._cap_hwm = self.min_capacity
+        if self.two_pass:
+            assert self.early_stop, "two_pass needs early_stop"
+            self._jit_pass1 = jax.jit(lambda x: self._run(
+                x, self.first_pass_iters, want_done=True))
+            self._jit_pass2 = jax.jit(lambda x: self._run(
+                x, self.num_iter, want_done=True)[0])
+            self._jit_cache = {}
 
     def _pairs(self, x, s):
         """[n, bs] -> (upper, lower) halves of the stage-s butterflies."""
@@ -107,6 +129,13 @@ class PolarBPDecoder:
         return jnp.stack([u, v], axis=1).reshape(blocks * 2 * span, bs)
 
     def _decode_2d(self, llr_logits):
+        return self._run(llr_logits, self.num_iter, want_done=False)[0]
+
+    def _run(self, llr_logits, num_iter, want_done=False):
+        """Decode at a given sweep budget; ``want_done=True`` additionally
+        returns the G-matrix convergence flag [bs] (needs early_stop) —
+        the accept test of the two-pass serving path."""
+        assert not want_done or self.early_stop
         bs = llr_logits.shape[0]
         n, S = self.n, self._S
         f = self._f
@@ -131,13 +160,16 @@ class PolarBPDecoder:
                     use_pallas = False
         if use_pallas:
             from polar_tpu.models.polar.pallas_bp import bp_pallas
-            u_llr = bp_pallas(
+            res = bp_pallas(
                 llr_ch, jnp.asarray(self._prior), S=S,
-                num_iter=self.num_iter, check_every=self.check_every,
+                num_iter=num_iter, check_every=self.check_every,
                 early_stop=self.early_stop, mode=self.mode, msf=self.msf,
                 llr_max=self.llr_max,
-                interpret=jax.default_backend() == "cpu")
-            return self._finish(u_llr)
+                interpret=jax.default_backend() == "cpu",
+                return_done=want_done)
+            if want_done:
+                return self._finish(res[0]), res[1] > 0
+            return self._finish(res), None
 
         prior = jnp.broadcast_to(jnp.asarray(self._prior)[:, None], (n, bs))
 
@@ -182,11 +214,12 @@ class PolarBPDecoder:
             x_hat = (lmsg[S] + rmsg[S] <= 0).astype(jnp.int32)
             return jnp.all(encode_hard(u_hat) == x_hat, axis=0)  # [bs]
 
+        done = None
         if self.early_stop:
             # full check_every-sized chunks only; a static remainder chunk
             # below keeps the total at EXACTLY num_iter sweeps (matching
             # early_stop=False when num_iter % check_every != 0)
-            full = (self.num_iter // self.check_every) * self.check_every
+            full = (num_iter // self.check_every) * self.check_every
 
             def cond(carry):
                 i, _, _, done = carry
@@ -207,7 +240,7 @@ class PolarBPDecoder:
 
             carry = (jnp.int32(0), lmsg, rmsg, jnp.zeros(bs, bool))
             _, lmsg, rmsg, done = lax.while_loop(cond, body, carry)
-            for _ in range(self.num_iter - full):
+            for _ in range(num_iter - full):
                 l_new, r_new = sweep(lmsg, rmsg)
                 keep = done[None, None, :]
                 lmsg = jnp.where(keep, lmsg, l_new)
@@ -216,9 +249,9 @@ class PolarBPDecoder:
             def one_iter(_, msgs):
                 return sweep(*msgs)
 
-            lmsg, rmsg = lax.fori_loop(0, self.num_iter, one_iter,
+            lmsg, rmsg = lax.fori_loop(0, num_iter, one_iter,
                                        (lmsg, rmsg))
-        return self._finish(lmsg[0] + rmsg[0])
+        return self._finish(lmsg[0] + rmsg[0]), done
 
     def _finish(self, u_llr):
         """info-side total LLR [n, bs] -> decoder output [bs, k]."""
@@ -233,8 +266,92 @@ class PolarBPDecoder:
         assert inputs.shape[-1] == self.n, "last dim must be of length n"
         assert inputs.ndim > 1
         lead = inputs.shape[:-1]
-        out = self._jit_decode(inputs.reshape(-1, self.n))
+        llr2d = inputs.reshape(-1, self.n)
+        if self.two_pass:
+            out = self.decode_pipelined([llr2d])[0]
+        else:
+            out = self._jit_decode(llr2d)
         return out.reshape(lead + (self.k,))
 
     def decode(self, llr_logits):
         return self._decode_2d(llr_logits)
+
+    # ------------------------------------------------------------------
+    # two-pass serving path (see __init__ note; mirrors HybridSCLDecoder's
+    # pipelined compaction machinery, hybrid.py)
+    # ------------------------------------------------------------------
+    def _capacity(self, n_fail: int, bucket: int) -> int:
+        cap = self.min_capacity
+        while cap < n_fail:
+            cap *= 2
+        cap = max(cap, self._cap_hwm)
+        cap = min(cap, bucket)
+        self._cap_hwm = max(self._cap_hwm, cap)
+        return cap
+
+    def prewarm(self, bs: int, scl_capacity: int = None):
+        """Compile the pass-1 program (at ``bs``) and the full-budget
+        pass-2 program (at the re-decode bucket capacity)."""
+        if scl_capacity:
+            self._cap_hwm = max(self._cap_hwm, int(scl_capacity))
+        _, done = self._jit_pass1(jnp.zeros((bs, self.n), jnp.float32))
+        np.asarray(done)
+        self._jit_pass2(jnp.zeros((self._cap_hwm, self.n), jnp.float32))
+
+    def decode_pipelined(self, llr_batches, scl_batch: int = 8192):
+        """Decode many ``[bs_i, n]`` batches with ONE convergence-mask
+        sync and cross-batch full-budget re-decodes of the failures
+        (compacted into ``scl_batch``-sized buckets). Bit-identical to
+        per-batch ``_decode_2d``."""
+        assert self.two_pass
+        llr_batches = [jnp.reshape(x, (-1, self.n)) for x in llr_batches]
+        sizes = tuple(int(x.shape[0]) for x in llr_batches)
+        p1 = [self._jit_pass1(x) for x in llr_batches]
+        done_np = np.asarray(self._jitted_concat(len(p1))(
+            *[d for _, d in p1]))
+        fail = np.nonzero(~done_np)[0]
+
+        chunks = []
+        for lo in range(0, int(fail.size), scl_batch):
+            chunk = fail[lo:lo + scl_batch]
+            cap = self._capacity(int(chunk.size), scl_batch)
+            idx = np.full(cap, chunk[0], dtype=np.int32)
+            idx[:chunk.size] = chunk
+            chunks.append((jnp.asarray(idx), int(chunk.size)))
+        p2 = [self._jitted_pass2_rows(len(llr_batches),
+                                      int(idx.shape[0]))(idx, *llr_batches)
+              for idx, _ in chunks]
+        return list(self._jitted_finalize(
+            sizes, tuple(c[1] for c in chunks))(
+                [u for u, _ in p1], [c[0] for c in chunks], p2))
+
+    def _jitted_concat(self, arity):
+        key = ("concat", arity)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(
+                lambda *xs: jnp.concatenate(xs, axis=0))
+        return self._jit_cache[key]
+
+    def _jitted_pass2_rows(self, arity, cap):
+        key = ("pass2", arity, cap)
+        if key not in self._jit_cache:
+            def f(idx, *llrs):
+                sub = jnp.take(jnp.concatenate(llrs, axis=0), idx, axis=0)
+                return self._run(sub, self.num_iter, want_done=False)[0]
+            self._jit_cache[key] = jax.jit(f)
+        return self._jit_cache[key]
+
+    def _jitted_finalize(self, sizes, chunk_sizes):
+        key = ("finalize", sizes, chunk_sizes)
+        if key not in self._jit_cache:
+            def f(u_p1, idxs, p2_outs):
+                u_all = jnp.concatenate(u_p1, axis=0)
+                for idx, u2, m in zip(idxs, p2_outs, chunk_sizes):
+                    u_all = u_all.at[idx[:m]].set(u2[:m])
+                outs, off = [], 0
+                for bs_i in sizes:
+                    outs.append(u_all[off:off + bs_i])
+                    off += bs_i
+                return tuple(outs)
+            self._jit_cache[key] = jax.jit(f)
+        return self._jit_cache[key]

@@ -54,8 +54,13 @@ def _roll_dn(x, d):
     return jnp.concatenate([x[-d:], x[:-d]], axis=0)
 
 
-def _bp_kernel(llr_ref, prior_ref, out_ref, lmsg, rmsg, done, *, S,
-               num_iter, check_every, early_stop, mode, msf, llr_max):
+def _bp_kernel(llr_ref, prior_ref, out_ref, *rest, S, num_iter,
+               check_every, early_stop, mode, msf, llr_max,
+               return_done=False):
+    if return_done:
+        done_ref, lmsg, rmsg, done = rest
+    else:
+        lmsg, rmsg, done = rest
     n, TB = llr_ref.shape
     f = (make_scaled_minsum(msf)
          if mode in ("minsum", "max") and msf != 1.0 else F_FUNCTIONS[mode])
@@ -133,24 +138,32 @@ def _bp_kernel(llr_ref, prior_ref, out_ref, lmsg, rmsg, done, *, S,
 
         lax.fori_loop(0, num_iter, one, 0)
     out_ref[:] = lmsg[0:n] + rmsg[0:n]  # info-side total LLR
+    if return_done:
+        done_ref[:] = jnp.broadcast_to(done[0:1, :], (8, TB))
 
 
 def bp_vmem_bytes(n: int, S: int, tb: int) -> int:
     """Kernel VMEM footprint: lmsg + rmsg scratch (2 x (S+1) x n rows f32),
-    llr/prior/out blocks (3 x n rows) and the (8, tb) done flag."""
-    return 4 * tb * (2 * (S + 1) * n + 3 * n + 8)
+    llr/prior/out blocks (3 x n rows), the (8, tb) done-flag scratch and
+    the optional (8, tb) done output block."""
+    return 4 * tb * (2 * (S + 1) * n + 3 * n + 16)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "S", "num_iter", "check_every", "early_stop", "mode", "msf", "llr_max",
-    "interpret", "tile"))
+    "interpret", "tile", "return_done"))
 def bp_pallas(llr, prior, *, S, num_iter, check_every, early_stop, mode,
-              msf, llr_max, interpret=False, tile=None):
+              msf, llr_max, interpret=False, tile=None, return_done=False):
     """Fused BP decode. ``llr``: [n, bs] f32 true channel LLRs, ``prior``:
     [n] f32 frozen prior (+llr_max at frozen positions, 0 elsewhere) ->
-    info-side total LLR [n, bs] f32."""
+    info-side total LLR [n, bs] f32.
+
+    ``return_done=True`` (needs ``early_stop``) additionally returns the
+    kernel's G-matrix convergence flag as ``done [bs] int32`` — the accept
+    test of the two-pass serving path (bp.py ``decode_pipelined``)."""
     n, bs = llr.shape
     assert n == 1 << S
+    assert not return_done or early_stop, "return_done needs early_stop"
     vlim = _vmem_limit_override()
     TB = tile if tile is not None else fit_tile(
         bs, lambda t: bp_vmem_bytes(n, S, t), vmem_limit=vlim)
@@ -160,18 +173,24 @@ def bp_pallas(llr, prior, *, S, num_iter, check_every, early_stop, mode,
     kern = functools.partial(
         _bp_kernel, S=S, num_iter=int(num_iter),
         check_every=int(check_every), early_stop=bool(early_stop),
-        mode=mode, msf=float(msf), llr_max=float(llr_max))
+        mode=mode, msf=float(msf), llr_max=float(llr_max),
+        return_done=bool(return_done))
     bspec = pl.BlockSpec((n, TB), lambda i: (0, i),
                          memory_space=pltpu.VMEM)
     # the prior block is identical for every tile: constant index map
     pspec = pl.BlockSpec((n, TB), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    dspec = pl.BlockSpec((8, TB), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+    out_specs = [bspec] + ([dspec] if return_done else [])
+    out_shape = [jax.ShapeDtypeStruct((n, bs), jnp.float32)] + \
+        ([jax.ShapeDtypeStruct((8, bs), jnp.int32)] if return_done else [])
+    res = pl.pallas_call(
         kern,
         grid=(bs // TB,),
         in_specs=[bspec, pspec],
-        out_specs=bspec,
-        out_shape=jax.ShapeDtypeStruct((n, bs), jnp.float32),
+        out_specs=out_specs if return_done else out_specs[0],
+        out_shape=out_shape if return_done else out_shape[0],
         scratch_shapes=[
             pltpu.VMEM(((S + 1) * n, TB), jnp.float32),
             pltpu.VMEM(((S + 1) * n, TB), jnp.float32),
@@ -181,3 +200,6 @@ def bp_pallas(llr, prior, *, S, num_iter, check_every, early_stop, mode,
                          else pltpu.CompilerParams(vmem_limit_bytes=vlim)),
         interpret=interpret,
     )(llr, prior_tile)
+    if return_done:
+        return res[0], res[1][0]
+    return res

@@ -396,7 +396,13 @@ DEFAULT_LOWER_STAGES = None
 # handles n<=512 separately so the hybrid SC cap matters only for n>=1024
 SCL_PALLAS_B_CAP = 9
 SC_PALLAS_B_CAP = 9
-BLOCKED_B_CAP = 6      # L>8 blocked-kernel auto cap (see resolve below)
+# L>8 blocked kernels MUST run code-specialized (unrolled outer, static
+# frozen sets/schedules): the traced (frz-in-SMEM) blocked kernel crashes
+# the remote compile helper (HTTP 500, tpu_compile_helper exit 1 —
+# reproduced r4 2026-08-19 at L=16 b=6 bs=2048). The auto rule therefore
+# picks b >= S - log2(UNROLL_OUTER_MAX_M) so the outer sweep unrolls;
+# measured at n=1024: L=16 b=7 -> 71.4M bit/s vs 20.4M at the old b=6 cap.
+BLOCKED_B_CAP = 8
 XLA_DEFAULT_B = 5
 
 
@@ -415,12 +421,15 @@ def resolve_lower_stages(S: int, bs: int, use_pallas: bool,
         return min(XLA_DEFAULT_B, S - 1)
     from polar_tpu.models.polar import pallas_scl as pk
     cap = SC_PALLAS_B_CAP if L is None else SCL_PALLAS_B_CAP
+    floor = 1
     if L is not None and L > 8:
-        # blocked-kernel (L=16/32) sweet spot: gather cost scales with
-        # (L/8)^2 and Mosaic compile time with 2^b — measured on v5e at
-        # n=1024 (benchmarks/throughput.json). Explicit overrides (env or
-        # lower_stages=) skip this cap.
+        # blocked kernels (L=16/32) must run code-specialized — the traced
+        # blocked kernel crashes the remote compile helper (see
+        # BLOCKED_B_CAP note) — so the outer sweep must unroll:
+        # m = 2^(S-b) <= UNROLL_OUTER_MAX_M. Returns 0 when no such depth
+        # fits VMEM (callers fall back to the XLA engine).
         cap = min(cap, BLOCKED_B_CAP)
+        floor = max(1, S - int(np.log2(UNROLL_OUTER_MAX_M)))
     vlim = pk._vmem_limit_override()  # POLAR_TPU_VMEM_LIMIT_MIB, if set
     # cond-leaves (POLAR_TPU_COND_KERNEL=1) only engages on the TRACED
     # kernel, whose ~2.2x scf.if stack spill must then be budgeted. The
@@ -430,7 +439,13 @@ def resolve_lower_stages(S: int, bs: int, use_pallas: bool,
     # the cond body, so budgeting it there would under-pick b (ADVICE r3)
     cond_env = (L is not None and L <= 8 and pk.cond_leaves_default())
     force_traced = os.environ.get("POLAR_TPU_TRACED_KERNEL") == "1"
-    for b in range(min(cap, S - 1), 0, -1):
+    # L <= 8 (and SC): deepest fitting subtree wins (measured b=9 sweet
+    # spot). L > 8: SHALLOWEST depth with an unrolled outer wins — deeper
+    # blocked kernels explode Mosaic compile time (b=8 blocked L=16
+    # measured >35 min vs ~7 min at b=7 for no runtime win worth it).
+    bees = (range(min(cap, S - 1), floor - 1, -1) if floor == 1
+            else range(floor, min(cap, S - 1) + 1))
+    for b in bees:
         cond = cond_env and (force_traced
                              or (1 << (S - b)) > UNROLL_OUTER_MAX_M)
         # SC budgets 2.2x for the Mosaic stack spill (see sc_subtree_pallas)
@@ -443,7 +458,7 @@ def resolve_lower_stages(S: int, bs: int, use_pallas: bool,
             return b
         except ValueError:
             continue
-    return 1
+    return 0 if floor > 1 else 1
 
 # with at most this many super-leaves the outer sweep unrolls fully
 # (no lax.scan/lax.switch) — bigger m keeps the O(log^2 n) scan program
@@ -628,6 +643,11 @@ def scl_sweep_hybrid(llr_ch, frozen_mask, list_size: int,
                       and bs % 128 == 0 and L in (8, 16, 32))
     b = (resolve_lower_stages(S, bs, use_pallas, L=L)
          if lower_stages is None else min(int(lower_stages), S - 1))
+    if b == 0 and use_pallas and L > 8:
+        # no VMEM-legal unrolled-outer depth for the blocked kernel (see
+        # BLOCKED_B_CAP): run the plain-XLA hybrid instead
+        use_pallas = False
+        b = resolve_lower_stages(S, bs, False, L=L)
     if b < 1:
         return scl_sweep(llr_ch, frozen_mask, L, mode, llr_max)
     f = F_FUNCTIONS[mode]
@@ -793,8 +813,11 @@ def scl_sweep_hybrid(llr_ch, frozen_mask, list_size: int,
         kernel even on the unrolled outer: one generic executable instead
         of a per-frozen-set specialization. Bit-identical but ~30% slower;
         its Mosaic compile is minutes faster cold, which is what a
-        compile-time-budgeted cold environment (the driver bench) needs."""
-        force_traced = os.environ.get("POLAR_TPU_TRACED_KERNEL") == "1"
+        compile-time-budgeted cold environment (the driver bench) needs.
+        Ignored for L > 8: the traced BLOCKED kernel crashes the remote
+        compile helper (see BLOCKED_B_CAP note)."""
+        force_traced = (os.environ.get("POLAR_TPU_TRACED_KERNEL") == "1"
+                        and L <= 8)
         if use_pallas:
             from polar_tpu.models.polar.pallas_scl import subtree_pallas
             interp = jax.default_backend() == "cpu"
@@ -915,6 +938,10 @@ def scl_sweep_hybrid_fast(llr_ch, frozen_mask, list_size: int,
                       and bs % 128 == 0 and L in (8, 16, 32))
     b = (resolve_lower_stages(S, bs, use_pallas, L=L)
          if lower_stages is None else min(int(lower_stages), S - 1))
+    if b == 0 and use_pallas and L > 8:
+        # see scl_sweep_hybrid: blocked kernels need the unrolled outer
+        use_pallas = False
+        b = resolve_lower_stages(S, bs, False, L=L)
     b = max(1, b)
     f = F_FUNCTIONS[mode]
     w_sub = 1 << b

@@ -173,3 +173,46 @@ def test_bp_auto_falls_back_when_kernel_cannot_fit(monkeypatch):
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     out = dec(jnp.zeros((128, n), jnp.float32))
     assert out.shape == (128, k)
+
+
+# ----------------------------------------------------------------------
+# two-pass serving path (r4): cheap first pass + compacted full-budget
+# re-decode of the failures must be BIT-identical to the single-pass
+# early-stop decoder (BP has no cross-lane coupling and the re-decode
+# replays the same sweep/freeze trajectory)
+# ----------------------------------------------------------------------
+@pytest.mark.parametrize("hard_out", [True, False])
+def test_bp_two_pass_bit_identical(hard_out):
+    n, k = 128, 64
+    frozen, logits, _ = _noisy_fixture(n, k, ebno_db=1.0, bs=96, seed=3)
+    kw = dict(num_iter=10, check_every=2, hard_out=hard_out)
+    one = PolarBPDecoder(frozen, n, **kw)
+    two = PolarBPDecoder(frozen, n, two_pass=True, first_pass_iters=4,
+                         min_capacity=8, **kw)
+    x = jnp.asarray(logits)
+    np.testing.assert_array_equal(np.asarray(one(x)), np.asarray(two(x)))
+
+
+def test_bp_two_pass_pipelined_matches_per_batch():
+    n, k = 128, 64
+    frozen, logits, _ = _noisy_fixture(n, k, ebno_db=1.0, bs=192, seed=7)
+    dec = PolarBPDecoder(frozen, n, num_iter=8, two_pass=True,
+                         first_pass_iters=4, min_capacity=8)
+    batches = [jnp.asarray(logits[:64]), jnp.asarray(logits[64:])]
+    outs = dec.decode_pipelined(batches, scl_batch=64)
+    per = [np.asarray(dec(b)) for b in batches]
+    for o, p in zip(outs, per):
+        np.testing.assert_array_equal(np.asarray(o), p)
+
+
+def test_bp_two_pass_all_converged_noiseless():
+    n, k = 64, 32
+    frozen, _ = generate_5g_ranking(k, n)
+    enc = PolarEncoder(frozen, n)
+    rng = np.random.default_rng(11)
+    u = rng.integers(0, 2, size=(32, k)).astype(np.float32)
+    c = np.asarray(enc(jnp.asarray(u)))
+    logits = jnp.asarray(12.0 * (2.0 * c - 1.0))
+    dec = PolarBPDecoder(frozen, n, num_iter=10, two_pass=True,
+                         first_pass_iters=4, min_capacity=8)
+    np.testing.assert_array_equal(np.asarray(dec(logits)), u)

@@ -1,6 +1,8 @@
 """Scan-engine equivalence: the O(log^2 n)-program `lax.scan` sweeps
 (scan_core.py) must be bit-identical to the unrolled-tree decoders."""
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -265,6 +267,13 @@ def test_fast_pallas_subtree_equals_unrolled_fast():
     _fast_vs_unrolled(mask, n, 8, 3, use_pallas=True, bs=128)
 
 
+@pytest.mark.skipif(
+    os.environ.get("POLAR_TPU_TEST_CPUSLOW") != "1"
+    and os.environ.get("POLAR_TPU_TEST_TPU") != "1",
+    reason="blocked-kernel interpret mode costs ~6 min on XLA-CPU "
+           "(POLAR_TPU_TEST_CPUSLOW=1 opts in); the compiled equivalent "
+           "runs in the TPU lane (test_tpu_compiled.py::"
+           "test_fast_scl_sweep_pallas_equals_xla[16])")
 def test_fast_pallas_blocked_subtree_equals_unrolled_fast():
     n = 64
     frozen, _ = generate_5g_ranking(32, n)
