@@ -131,6 +131,30 @@ for step in STEPS:
         except Exception as e:
             emit(step=step, error=f"{type(e).__name__}: {str(e)[:300]}")
 
+    elif step.startswith("coldsc:"):
+        # coldsc:<b>:<tile>:<bs> — cold-compile the SC whole-tree kernel
+        # (rate-0-pruned static schedule, the sc_n64/sc_n256 stale-row
+        # config) at a given batch tile; bisects the remote-compile-helper
+        # HTTP 500 vs tile width.
+        from polar_tpu.models.polar.pallas_scl import sc_subtree_pallas
+        _, b_s, tile_s, bs_s = step.split(":")
+        b_p, tile_p, bs_p = int(b_s), int(tile_s), int(bs_s)
+        np_n = 1 << b_p
+        frz_p, _ = generate_5g_ranking(np_n // 2, np_n)
+        m_p = np.zeros(np_n, dtype=bool)
+        m_p[frz_p] = True
+        sched = tuple(fast_schedule(m_p, rep=False))
+        a_p = jax.ShapeDtypeStruct((np_n, bs_p), jnp.float32)
+        t = time.time()
+        try:
+            sc_subtree_pallas.lower(
+                a_p, None, b=b_p, llr_max=30.0, mode="minsum",
+                tile=tile_p or None, sched_static=sched,
+                interpret=False).compile()
+            emit(step=step, secs=round(time.time() - t, 1))
+        except Exception as e:
+            emit(step=step, error=f"{type(e).__name__}: {str(e)[:400]}")
+
     elif step == "bf16":
         # does Mosaic lower (a) bf16 arithmetic on (16, 128) tiles and
         # (b) dynamic-gather (take_along_axis) on a bf16 (8, TB) tile?
@@ -146,16 +170,23 @@ for step in STEPS:
         def k_gather(x_ref, p_ref, o_ref):
             o_ref[:] = jnp.take_along_axis(x_ref[:], p_ref[:], axis=0)
 
+        def k_i8(x_ref, o_ref):
+            x = x_ref[:]
+            o_ref[:] = jnp.where(x > 0, x, -x) + jnp.int8(1)
+
         rng = np.random.default_rng(0)
         xb = jnp.asarray(rng.normal(0, 2, (16, 256)), jnp.bfloat16)
         ptr = jnp.asarray(rng.integers(0, 8, (8, 256)), jnp.int32)
         x8 = jnp.asarray(rng.normal(0, 2, (8, 256)), jnp.bfloat16)
+        xi = jnp.asarray(rng.integers(-8, 8, (32, 256)), jnp.int8)
         out = {}
         for name, kern, args, oshape in (
                 ("arith", k_arith, (xb,),
                  jax.ShapeDtypeStruct((16, 256), jnp.bfloat16)),
                 ("gather", k_gather, (x8, ptr),
-                 jax.ShapeDtypeStruct((8, 256), jnp.bfloat16))):
+                 jax.ShapeDtypeStruct((8, 256), jnp.bfloat16)),
+                ("int8", k_i8, (xi,),
+                 jax.ShapeDtypeStruct((32, 256), jnp.int8))):
             try:
                 r = pl.pallas_call(kern, out_shape=oshape)(*args)
                 r.block_until_ready()

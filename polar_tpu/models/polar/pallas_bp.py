@@ -86,8 +86,52 @@ def _bp_kernel(llr_ref, prior_ref, out_ref, *rest, S, num_iter,
             return new
         return jnp.where(done[0:1, :] != 0, old, new)
 
+    # Stages with span >= 8 rows use SLICED block updates: the u/v halves
+    # of every butterfly block are contiguous sublane-tile-aligned row
+    # ranges, so the PE update reads them directly — no partner rolls, no
+    # branch duplication, no select; HALF the f evaluations of the rowwise
+    # form and zero shuffle traffic. Bit-identical by construction (the
+    # rowwise where() form computes exactly these expressions per half).
+    # Stages 0..2 (span < 8 rows, sub-tile slices) keep the rowwise form.
+    SLICE_MIN = 3
+
+    def pe_l(s):
+        span = 1 << s
+        for base in range(0, n, 2 * span):
+            Au = lmsg[(s + 1) * n + base:(s + 1) * n + base + span]
+            Av = lmsg[(s + 1) * n + base + span:
+                      (s + 1) * n + base + 2 * span]
+            Bu = rmsg[s * n + base:s * n + base + span]
+            Bv = rmsg[s * n + base + span:s * n + base + 2 * span]
+            l_u = f(Au, Av + Bv, llr_max)
+            l_v = f(Au, Bu, llr_max) + Av
+            lmsg[s * n + base:s * n + base + span] = keep_sel(
+                lmsg[s * n + base:s * n + base + span], l_u)
+            lmsg[s * n + base + span:s * n + base + 2 * span] = keep_sel(
+                lmsg[s * n + base + span:s * n + base + 2 * span], l_v)
+
+    def pe_r(s):
+        span = 1 << s
+        for base in range(0, n, 2 * span):
+            Au = lmsg[(s + 1) * n + base:(s + 1) * n + base + span]
+            Av = lmsg[(s + 1) * n + base + span:
+                      (s + 1) * n + base + 2 * span]
+            Bu = rmsg[s * n + base:s * n + base + span]
+            Bv = rmsg[s * n + base + span:s * n + base + 2 * span]
+            r_u = f(Bu, Av + Bv, llr_max)
+            r_v = f(Bu, Au, llr_max) + Bv
+            rmsg[(s + 1) * n + base:(s + 1) * n + base + span] = keep_sel(
+                rmsg[(s + 1) * n + base:(s + 1) * n + base + span], r_u)
+            rmsg[(s + 1) * n + base + span:
+                 (s + 1) * n + base + 2 * span] = keep_sel(
+                rmsg[(s + 1) * n + base + span:
+                     (s + 1) * n + base + 2 * span], r_v)
+
     def sweep():
         for s in range(S - 1, -1, -1):  # right-to-left: update l
+            if s >= SLICE_MIN:
+                pe_l(s)
+                continue
             A = lmsg[(s + 1) * n:(s + 2) * n]
             B = rmsg[s * n:(s + 1) * n]
             Ap, Bp = partner(A, s), partner(B, s)
@@ -96,6 +140,9 @@ def _bp_kernel(llr_ref, prior_ref, out_ref, *rest, S, num_iter,
             lmsg[s * n:(s + 1) * n] = keep_sel(lmsg[s * n:(s + 1) * n],
                                                l_new)
         for s in range(0, S):           # left-to-right: update r
+            if s >= SLICE_MIN:
+                pe_r(s)
+                continue
             A = lmsg[(s + 1) * n:(s + 2) * n]
             B = rmsg[s * n:(s + 1) * n]
             Ap, Bp = partner(A, s), partner(B, s)
