@@ -48,7 +48,7 @@ def _set_env(key, value):
 
 
 def build_step(k, n, L, bs, lower_stages, fast_scl, traced=False,
-               cond32=False):
+               cond32=False, vmem_mib=None):
     """Fresh model + fused jitted chain step at the given subtree depth.
     ``lower_stages=None`` -> the VMEM-model auto choice; ``traced`` forces
     the generic (frz-in-SMEM) kernel whose cold Mosaic compile is minutes
@@ -57,7 +57,10 @@ def build_step(k, n, L, bs, lower_stages, fast_scl, traced=False,
     (lax.cond, POLAR_TPU_COND_KERNEL) under a 32 MiB scoped-VMEM limit —
     the cond kernel's ~2.2x scf.if stack spill needs the raised limit to
     keep b=9/TB=128 (measured 194.4M bit/s vs 160.7M branchless, both
-    traced, cold compile ~6 min)."""
+    traced, cold compile ~6 min). ``vmem_mib`` raises the scoped-VMEM
+    limit without cond — the b=10 WHOLE-TREE fast kernel (the round-4
+    headline: 331.3M bit/s at bs=8192, one kernel per decode, no upper
+    XLA stages) needs 32 MiB for its TB=128 tile."""
     _set_env("POLAR_TPU_LOWER_STAGES",
              None if lower_stages is None else lower_stages)
     _set_env("POLAR_TPU_TRACED_KERNEL", "1" if traced else None)
@@ -66,7 +69,7 @@ def build_step(k, n, L, bs, lower_stages, fast_scl, traced=False,
         _set_env("POLAR_TPU_VMEM_LIMIT_MIB", "32")
     else:
         _set_env("POLAR_TPU_COND_KERNEL", None)
-        _set_env("POLAR_TPU_VMEM_LIMIT_MIB", None)
+        _set_env("POLAR_TPU_VMEM_LIMIT_MIB", vmem_mib)
     frozen, _ = pt.generate_5g_ranking(k, n)
     enc = pt.PolarEncoder(frozen, n)
     dec = pt.PolarSCLDecoder(frozen, n, list_size=L,
@@ -132,6 +135,8 @@ def main():
         tag = "fast{}_b{}_traced{}_cond{}_bs{}_L{}".format(
             int(cfg[0]), "auto" if cfg[1] is None else cfg[1],
             int(cfg[2]), int(cfg[3]), bs, L)
+        if len(cfg) > 4 and cfg[4]:
+            tag += f"_vmem{cfg[4]}"
         return os.path.join(cache_dir, f".bench_ok_{tag}") if cache_dir \
             else ""
 
@@ -152,9 +157,16 @@ def main():
                 return True
         return False
 
-    specialized = [(f, b, False, False)
-                   for f in ([True, False] if fast_default else [False])
-                   for b in bees + [8, 7, 5]]
+    # ladder leader: the b=10 WHOLE-TREE fast kernel under a 32 MiB
+    # scoped-VMEM limit — 331.3M bit/s measured (2026-08-19, bs=8192,
+    # kernel cold compile 580 s; whole cold chain ~= the b=9 pair's cost).
+    # Only when the env didn't pin a depth and the fast engine is on.
+    whole_tree = ([(True, 10, False, False, 32)]
+                  if env_b is None and fast_default else [])
+    specialized = whole_tree + \
+        [(f, b, False, False)
+         for f in ([True, False] if fast_default else [False])
+         for b in bees + [8, 7, 5]]
     # traced ladder leads with the cond-leaves kernel under a raised
     # (32 MiB) scoped-VMEM limit: same b=9/TB=128 as the branchless traced
     # config but frozen leaves skip the fork at runtime — measured 194.4M
@@ -179,27 +191,41 @@ def main():
         ladder = warm_specialized + traced_ladder
     step = dec = None
     t_ladder = time.perf_counter()
+    # the remote compile helper fails TRANSIENTLY (HTTP 500,
+    # tpu_compile_helper exit 1 — r4 reproduced the same program crashing
+    # then compiling fine 40 min later), so each config gets one retry on
+    # that signature before the ladder steps down to a slower config
     for cfg in ladder:
-        fast_cfg, b_cfg, traced_cfg, cond_cfg = cfg
-        try:
-            step, dec = build_step(k, n, L, bs, b_cfg, fast_cfg,
-                                   traced=traced_cfg, cond32=cond_cfg)
-            # compile + warmup (excluded from timing)
-            float(step(jax.random.PRNGKey(0), jnp.float32(2.0)))
-            print(f"# config fast={fast_cfg} b={b_cfg} traced={traced_cfg} "
-                  f"cond={cond_cfg} compiled+warm in "
-                  f"{time.perf_counter() - t_ladder:.1f}s",
-                  file=sys.stderr)
-            m = marker(cfg)
-            if m:
-                os.makedirs(cache_dir, exist_ok=True)
-                open(m, "w").close()
+        fast_cfg, b_cfg, traced_cfg, cond_cfg = cfg[:4]
+        vmem_cfg = cfg[4] if len(cfg) > 4 else None
+        for attempt in (1, 2):
+            try:
+                step, dec = build_step(k, n, L, bs, b_cfg, fast_cfg,
+                                       traced=traced_cfg, cond32=cond_cfg,
+                                       vmem_mib=vmem_cfg)
+                # compile + warmup (excluded from timing)
+                float(step(jax.random.PRNGKey(0), jnp.float32(2.0)))
+                print(f"# config fast={fast_cfg} b={b_cfg} "
+                      f"traced={traced_cfg} cond={cond_cfg} "
+                      f"vmem={vmem_cfg} compiled+warm in "
+                      f"{time.perf_counter() - t_ladder:.1f}s",
+                      file=sys.stderr)
+                m = marker(cfg)
+                if m:
+                    os.makedirs(cache_dir, exist_ok=True)
+                    open(m, "w").close()
+                break
+            except Exception as e:  # compile OOM / Mosaic error
+                print(f"# bench config fast={fast_cfg} "
+                      f"lower_stages={b_cfg} traced={traced_cfg} "
+                      f"cond={cond_cfg} vmem={vmem_cfg} "
+                      f"(attempt {attempt}) failed: {type(e).__name__}: "
+                      f"{str(e)[:300]}", file=sys.stderr)
+                step = dec = None
+                if not ("remote_compile" in str(e) and "500" in str(e)):
+                    break  # deterministic failure: step down, no retry
+        if step is not None:
             break
-        except Exception as e:  # compile OOM / Mosaic error: step down
-            print(f"# bench config fast={fast_cfg} lower_stages={b_cfg} "
-                  f"traced={traced_cfg} cond={cond_cfg} failed: "
-                  f"{type(e).__name__}: {str(e)[:300]}", file=sys.stderr)
-            step = dec = None
     if step is None:
         print(json.dumps({
             "metric": "scl8_n1024_chain_info_bits_per_s",

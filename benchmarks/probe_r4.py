@@ -155,6 +155,173 @@ for step in STEPS:
         except Exception as e:
             emit(step=step, error=f"{type(e).__name__}: {str(e)[:400]}")
 
+    elif step.startswith("coldbp:"):
+        # coldbp:<slice_min>[:<iters>] — cold-compile the fused BP kernel
+        # at a given sliced-stage threshold (bisects the r4 sliced-sweep
+        # compile-helper crash; 99 = pure rowwise, the r3 form)
+        from polar_tpu.models.polar.pallas_bp import bp_pallas
+        parts = step.split(":")
+        os.environ["POLAR_TPU_BP_SLICE_MIN"] = parts[1]
+        nit = int(parts[2]) if len(parts) > 2 else 20
+        llr_s = jax.ShapeDtypeStruct((1024, 8192), jnp.float32)
+        pr_s = jax.ShapeDtypeStruct((1024,), jnp.float32)
+        t = time.time()
+        try:
+            bp_pallas.lower(llr_s, pr_s, S=10, num_iter=nit, check_every=2,
+                            early_stop=True, mode="minsum", msf=0.9375,
+                            llr_max=30.0, interpret=False).compile()
+            emit(step=step, secs=round(time.time() - t, 1))
+        except Exception as e:
+            emit(step=step, error=f"{type(e).__name__}: {str(e)[:300]}")
+        finally:
+            jax.clear_caches()
+
+    elif step.startswith("coldbpx:"):
+        # coldbpx:<n>:<nit>:<es01>:<slice_min>:<tile> — finer BP-kernel
+        # compile bisect (n, sweep count, early stop, slicing, tile)
+        from polar_tpu.models.polar.pallas_bp import bp_pallas
+        _, n_s, it_s, es_s, sl_s, tl_s = step.split(":")
+        os.environ["POLAR_TPU_BP_SLICE_MIN"] = sl_s
+        n_p, it_p = int(n_s), int(it_s)
+        S_p = int(np.log2(n_p))
+        llr_s = jax.ShapeDtypeStruct((n_p, 8192), jnp.float32)
+        pr_s = jax.ShapeDtypeStruct((n_p,), jnp.float32)
+        t = time.time()
+        try:
+            bp_pallas.lower(llr_s, pr_s, S=S_p, num_iter=it_p,
+                            check_every=2, early_stop=es_s == "1",
+                            mode="minsum", msf=0.9375, llr_max=30.0,
+                            tile=int(tl_s) or None,
+                            interpret=False).compile()
+            emit(step=step, secs=round(time.time() - t, 1))
+        except Exception as e:
+            emit(step=step, error=f"{type(e).__name__}: {str(e)[:200]}")
+        finally:
+            jax.clear_caches()
+
+    elif step.startswith("mini:"):
+        # mini:<variant> — isolate which Mosaic construct crashes the
+        # compile helper (the BP kernel uses all four; SCL kernels none):
+        # fori (lax.fori_loop), bcast (constant-index-map input block),
+        # roll (shift-concat), reduce (vector->(1,TB) min + scalar all)
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+        from jax import lax
+        variant = step.split(":")[1]
+        TBm = 128
+
+        def k_fori(x_ref, o_ref):
+            def body(_i, c):
+                o_ref[:] = o_ref[:] + x_ref[:]
+                return c
+            o_ref[:] = x_ref[:]
+            lax.fori_loop(0, 5, body, 0)
+
+        def k_bcast(x_ref, o_ref):
+            o_ref[:] = x_ref[:] * 2.0
+
+        def k_roll(x_ref, o_ref):
+            x = x_ref[:]
+            o_ref[:] = jnp.concatenate([x[8:], x[:8]], axis=0) + x
+
+        def k_reduce(x_ref, o_ref):
+            m = jnp.min(x_ref[:], axis=0, keepdims=True)
+            o_ref[:] = jnp.broadcast_to(m, x_ref.shape)
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(0, 2, (64, 4 * TBm)), jnp.float32)
+        oshape = jax.ShapeDtypeStruct((64, 4 * TBm), jnp.float32)
+        bspec = pl.BlockSpec((64, TBm), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+        cspec = pl.BlockSpec((64, TBm), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+        def k_shift(x_ref, o_ref):
+            rows = lax.broadcasted_iota(jnp.int32, x_ref.shape, 0)
+            x = x_ref[:]
+            acc = x
+            for s in range(3):
+                m = ((rows >> s) & 1) == 0
+                acc = jnp.where(m, acc + x, acc - x)
+            o_ref[:] = acc
+
+        def k_scratchfori(x_ref, o_ref, scr):
+            scr[:] = x_ref[:]
+
+            def body(_i, c):
+                scr[:] = scr[:] * 1.5 + x_ref[:]
+                return c
+            lax.fori_loop(0, 5, body, 0)
+            o_ref[:] = scr[:]
+
+        def k_sweepcombo(x_ref, o_ref, scr):
+            rows = lax.broadcasted_iota(jnp.int32, x_ref.shape, 0)
+            scr[:] = x_ref[:]
+
+            def body(_i, c):
+                for s in range(3):
+                    d = 1 << s
+                    xx = scr[:]
+                    part = jnp.where(((rows >> s) & 1) == 0,
+                                     jnp.concatenate([xx[d:], xx[:d]],
+                                                     axis=0),
+                                     jnp.concatenate([xx[-d:], xx[:-d]],
+                                                     axis=0))
+                    scr[:] = jnp.minimum(jnp.abs(xx), jnp.abs(part)) \
+                        * jnp.sign(xx) * jnp.sign(part)
+                return c
+            lax.fori_loop(0, 4, body, 0)
+            o_ref[:] = scr[:]
+
+        def make_bigsweep(loop):
+            NR = 1024
+
+            def k_big(x_ref, o_ref, scr):
+                rows = lax.broadcasted_iota(jnp.int32, (NR, TBm), 0)
+                for j in range(NR // 64):
+                    scr[64 * j:64 * (j + 1)] = x_ref[:]
+
+                def sweep(_i, c):
+                    for s in range(8):
+                        d = 1 << s
+                        xx = scr[:]
+                        part = jnp.where(
+                            ((rows >> s) & 1) == 0,
+                            jnp.concatenate([xx[d:], xx[:d]], axis=0),
+                            jnp.concatenate([xx[-d:], xx[:-d]], axis=0))
+                        scr[:] = jnp.minimum(jnp.abs(xx), jnp.abs(part)) \
+                            * jnp.sign(xx) * jnp.sign(part)
+                    return c
+                if loop:
+                    lax.fori_loop(0, 4, sweep, 0)
+                else:
+                    sweep(0, 0)
+                o_ref[:] = scr[0:64]
+            return k_big
+
+        kern = {"fori": k_fori, "bcast": k_bcast, "roll": k_roll,
+                "reduce": k_reduce, "shift": k_shift,
+                "scratchfori": k_scratchfori,
+                "sweepcombo": k_sweepcombo,
+                "bigsweep": make_bigsweep(True),
+                "bigsweep_noloop": make_bigsweep(False)}[variant]
+        scratch = ([pltpu.VMEM((64, TBm), jnp.float32)]
+                   if variant in ("scratchfori", "sweepcombo") else [])
+        if variant.startswith("bigsweep"):
+            scratch = [pltpu.VMEM((1024, TBm), jnp.float32)]
+        t = time.time()
+        try:
+            r = pl.pallas_call(
+                kern, grid=(4,),
+                in_specs=[cspec if variant == "bcast" else bspec],
+                out_specs=bspec, out_shape=oshape,
+                scratch_shapes=scratch)(x)
+            r.block_until_ready()
+            emit(step=step, secs=round(time.time() - t, 2))
+        except Exception as e:
+            emit(step=step, error=f"{type(e).__name__}: {str(e)[:6000]}")
+        finally:
+            jax.clear_caches()
+
     elif step == "bf16":
         # does Mosaic lower (a) bf16 arithmetic on (16, 128) tiles and
         # (b) dynamic-gather (take_along_axis) on a bf16 (8, TB) tile?

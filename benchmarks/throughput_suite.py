@@ -114,6 +114,16 @@ def main():
     configs.append(("sc_n64", 32, 64, pt.PolarEncoder(frozen64, 64),
                     pt.PolarSCDecoder(frozen64, 64), 2.0, 65536))
 
+    # BP two-pass serving path (r4): cheap 8-sweep first pass + compacted
+    # full-budget re-decode of G-matrix failures; bit-identical to the
+    # single-pass decoder (tests/test_bp.py)
+    frozen1k0, _ = pt.generate_5g_ranking(512, 1024)
+    configs.append(("bp20_n1024_2pass", 512, 1024,
+                    pt.PolarEncoder(frozen1k0, 1024),
+                    pt.PolarBPDecoder(frozen1k0, 1024, num_iter=20,
+                                      two_pass=True, first_pass_iters=8),
+                    2.0, 8192))
+
     # larger list sizes at the north-star blocklength (blocked Pallas
     # kernel — lists of (8, TB) blocks, see pallas_scl)
     frozen1k, _ = pt.generate_5g_ranking(512, 1024)

@@ -143,8 +143,16 @@ class PolarBPDecoder:
 
         use_pallas = self._use_pallas
         if use_pallas is None:
+            import os
+            # r4: the axon remote compile helper currently fails on the
+            # whole-decode BP kernel's program size (HTTP 500 on every
+            # n>=256 full-sweep body — benchmarks/probe_r4.py coldbp*;
+            # the r3 rows rode a warm executable cache). Auto therefore
+            # keeps the XLA engine; POLAR_TPU_BP_KERNEL=1 re-enables the
+            # kernel for backends whose compiler handles it.
             use_pallas = (jax.default_backend() not in ("cpu",)
-                          and bs % 128 == 0)
+                          and bs % 128 == 0
+                          and os.environ.get("POLAR_TPU_BP_KERNEL") == "1")
             if use_pallas:
                 # auto mode only engages the fused kernel when its whole
                 # message lattice fits scoped VMEM at SOME legal batch

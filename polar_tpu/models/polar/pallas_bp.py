@@ -93,7 +93,8 @@ def _bp_kernel(llr_ref, prior_ref, out_ref, *rest, S, num_iter,
     # form and zero shuffle traffic. Bit-identical by construction (the
     # rowwise where() form computes exactly these expressions per half).
     # Stages 0..2 (span < 8 rows, sub-tile slices) keep the rowwise form.
-    SLICE_MIN = 3
+    import os as _os
+    SLICE_MIN = int(_os.environ.get("POLAR_TPU_BP_SLICE_MIN", "3"))
 
     def pe_l(s):
         span = 1 << s

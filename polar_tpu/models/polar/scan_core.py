@@ -396,12 +396,13 @@ DEFAULT_LOWER_STAGES = None
 # handles n<=512 separately so the hybrid SC cap matters only for n>=1024
 SCL_PALLAS_B_CAP = 9
 SC_PALLAS_B_CAP = 9
-# L>8 blocked kernels MUST run code-specialized (unrolled outer, static
-# frozen sets/schedules): the traced (frz-in-SMEM) blocked kernel crashes
-# the remote compile helper (HTTP 500, tpu_compile_helper exit 1 —
-# reproduced r4 2026-08-19 at L=16 b=6 bs=2048). The auto rule therefore
-# picks b >= S - log2(UNROLL_OUTER_MAX_M) so the outer sweep unrolls;
-# measured at n=1024: L=16 b=7 -> 71.4M bit/s vs 20.4M at the old b=6 cap.
+# L>8 blocked kernels run code-specialized (unrolled outer, static frozen
+# sets/schedules): measured at n=1024, L=16 b=7 (unrolled outer) does
+# 71.4M bit/s vs 20.4M at the old b=6 cap (scan outer, traced kernel) —
+# the shallow-depth scan outer was the bottleneck. The auto rule picks
+# b >= S - log2(UNROLL_OUTER_MAX_M) so the outer sweep unrolls. (The
+# traced blocked kernel also hit remote-compile-helper HTTP 500s in r4;
+# those proved TRANSIENT service failures, but the perf argument stands.)
 BLOCKED_B_CAP = 8
 XLA_DEFAULT_B = 5
 
@@ -936,8 +937,13 @@ def scl_sweep_hybrid_fast(llr_ch, frozen_mask, list_size: int,
     if use_pallas is None:
         use_pallas = (jax.default_backend() not in ("cpu",)
                       and bs % 128 == 0 and L in (8, 16, 32))
+    # explicit lower_stages may go to b = S here (whole-tree kernel, no
+    # upper stages at all: m = 1, top = 0 — every upper-stage list below
+    # is empty and the single unit covers the tree). The plain hybrid
+    # (scl_sweep_hybrid) keeps its S-1 clamp: its scan-ready carry layout
+    # assumes top >= 1.
     b = (resolve_lower_stages(S, bs, use_pallas, L=L)
-         if lower_stages is None else min(int(lower_stages), S - 1))
+         if lower_stages is None else min(int(lower_stages), S))
     if b == 0 and use_pallas and L > 8:
         # see scl_sweep_hybrid: blocked kernels need the unrolled outer
         use_pallas = False

@@ -169,8 +169,10 @@ def test_bp_auto_falls_back_when_kernel_cannot_fit(monkeypatch):
     from polar_tpu.models.polar.construction import generate_rm_code
     frozen, _info, n, k, _d = generate_rm_code(7, 11)  # n=2048
     dec = PolarBPDecoder(frozen, n, num_iter=2)
-    # pretend we are on a TPU so the auto branch considers the kernel
+    # pretend we are on a TPU (and opt into the kernel, r4 default-off)
+    # so the auto branch considers it
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setenv("POLAR_TPU_BP_KERNEL", "1")
     out = dec(jnp.zeros((128, n), jnp.float32))
     assert out.shape == (128, k)
 

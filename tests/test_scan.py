@@ -339,3 +339,15 @@ def test_fast_hybrid_random_masks_equal_unrolled():
     # two of them through the fused kernel (interpret mode) as well
     _fast_vs_unrolled(masks[0], n, 8, 3, use_pallas=True, bs=128)
     _fast_vs_unrolled(whole_tree_rep, n, 8, 3, use_pallas=True, bs=128)
+
+
+def test_fast_whole_tree_kernel_equals_unrolled():
+    """lower_stages = S (whole-tree kernel, m=1, no upper stages — the
+    round-4 bench leader config) must stay bit-identical to the unrolled
+    fast engine."""
+    n = 32
+    frozen, _ = generate_5g_ranking(16, n)
+    mask = np.zeros(n, bool)
+    mask[frozen] = True
+    _fast_vs_unrolled(mask, n, 8, 5, use_pallas=True, bs=64)
+    _fast_vs_unrolled(mask, n, 8, 5, use_pallas=False, bs=64)
