@@ -937,13 +937,28 @@ def scl_sweep_hybrid_fast(llr_ch, frozen_mask, list_size: int,
     if use_pallas is None:
         use_pallas = (jax.default_backend() not in ("cpu",)
                       and bs % 128 == 0 and L in (8, 16, 32))
-    # explicit lower_stages may go to b = S here (whole-tree kernel, no
-    # upper stages at all: m = 1, top = 0 — every upper-stage list below
-    # is empty and the single unit covers the tree). The plain hybrid
+    # lower_stages may go to b = S here (whole-tree kernel, no upper
+    # stages at all: m = 1, top = 0 — every upper-stage list below is
+    # empty and the single unit covers the tree). The plain hybrid
     # (scl_sweep_hybrid) keeps its S-1 clamp: its scan-ready carry layout
-    # assumes top >= 1.
-    b = (resolve_lower_stages(S, bs, use_pallas, L=L)
-         if lower_stages is None else min(int(lower_stages), S))
+    # assumes top >= 1. Auto prefers the whole tree for S <= 9 when its
+    # kernel fits scoped VMEM (n <= 512 at the 16 MiB default: one kernel
+    # per decode, no upper XLA traffic, cold compile <= ~2 min; at n=1024
+    # it needs a raised limit AND a ~10 min cold compile, so it stays
+    # opt-in — bench.py pins it via POLAR_TPU_LOWER_STAGES/VMEM knobs).
+    b = None
+    if (lower_stages is None and use_pallas and L <= 8 and S <= 9
+            and os.environ.get("POLAR_TPU_LOWER_STAGES") is None):
+        from polar_tpu.models.polar import pallas_scl as pk
+        try:
+            pk.fit_tile(bs, lambda t: pk.scl_vmem_bytes(S, L, t),
+                        vmem_limit=pk._vmem_limit_override())
+            b = S
+        except ValueError:
+            b = None
+    if b is None:
+        b = (resolve_lower_stages(S, bs, use_pallas, L=L)
+             if lower_stages is None else min(int(lower_stages), S))
     if b == 0 and use_pallas and L > 8:
         # see scl_sweep_hybrid: blocked kernels need the unrolled outer
         use_pallas = False
