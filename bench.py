@@ -58,9 +58,9 @@ def build_step(k, n, L, bs, lower_stages, fast_scl, traced=False,
     the cond kernel's ~2.2x scf.if stack spill needs the raised limit to
     keep b=9/TB=128 (measured 194.4M bit/s vs 160.7M branchless, both
     traced, cold compile ~6 min). ``vmem_mib`` raises the scoped-VMEM
-    limit without cond — the b=10 WHOLE-TREE fast kernel (the round-4
-    headline: 331.3M bit/s at bs=8192, one kernel per decode, no upper
-    XLA stages) needs 32 MiB for its TB=128 tile."""
+    limit without cond — the headline b=9 fast config under 32 MiB gets
+    a 2x batch tile (TB=256) out of it, worth ~25% over the 16 MiB
+    default (328.4M vs ~262M bit/s at bs=8192)."""
     _set_env("POLAR_TPU_LOWER_STAGES",
              None if lower_stages is None else lower_stages)
     _set_env("POLAR_TPU_TRACED_KERNEL", "1" if traced else None)
@@ -157,13 +157,17 @@ def main():
                 return True
         return False
 
-    # ladder leader: the b=10 WHOLE-TREE fast kernel under a 32 MiB
-    # scoped-VMEM limit — 331.3M bit/s measured (2026-08-19, bs=8192,
-    # kernel cold compile 580 s; whole cold chain ~= the b=9 pair's cost).
+    # ladder leader: the b=9 code-specialized fast config under a 32 MiB
+    # scoped-VMEM limit (the raised limit doubles the legal batch tile —
+    # that, not subtree depth, was the round-4 gain). Round 4 labeled this
+    # config "b=10 whole tree", but the env override clamped to b=9
+    # (ADVICE r4); after the r5 clamp fix the TRUE whole-tree b=10 kernel
+    # measured 274.0M bit/s vs this config's 328.4M (BENCH_r04) — one
+    # monolithic kernel loses to two b=9 kernels + a thin upper stage.
     # Only when the env didn't pin a depth and the fast engine is on.
-    whole_tree = ([(True, 10, False, False, 32)]
-                  if env_b is None and fast_default else [])
-    specialized = whole_tree + \
+    vmem32_leader = ([(True, 9, False, False, 32)]
+                     if env_b is None and fast_default else [])
+    specialized = vmem32_leader + \
         [(f, b, False, False)
          for f in ([True, False] if fast_default else [False])
          for b in bees + [8, 7, 5]]

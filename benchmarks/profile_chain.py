@@ -98,7 +98,12 @@ def main():
     # standalone fused subtree kernels at the decode's own auto config
     S = int(np.log2(n))
     use_pallas = jax.default_backend() not in ("cpu",) and bs % 128 == 0
-    b = scan_core.resolve_lower_stages(S, bs, use_pallas, L=L)
+    # the fast sweep resolves depth through its own helper (it may pick
+    # b = S, the whole tree) — keep the reported b/m faithful to what the
+    # decode above actually ran (ADVICE r4)
+    b = (scan_core.resolve_fast_lower_stages(S, bs, use_pallas, L)
+         if args.fast
+         else scan_core.resolve_lower_stages(S, bs, use_pallas, L=L))
     m = n >> b
     mask = np.zeros(n, dtype=bool)
     mask[frozen] = True

@@ -123,6 +123,14 @@ def main():
                     pt.PolarBPDecoder(frozen1k0, 1024, num_iter=20,
                                       two_pass=True, first_pass_iters=8),
                     2.0, 8192))
+    # bf16 message lattice (r5): halves the HBM traffic that binds the
+    # XLA BP engine (docs/PERFORMANCE.md BP roofline); opt-in, BER within
+    # MC noise of f32 (tests/test_bp.py)
+    configs.append(("bp20_n1024_bf16", 512, 1024,
+                    pt.PolarEncoder(frozen1k0, 1024),
+                    pt.PolarBPDecoder(frozen1k0, 1024, num_iter=20,
+                                      msg_dtype=jnp.bfloat16),
+                    2.0, 8192))
 
     # larger list sizes at the north-star blocklength (blocked Pallas
     # kernel — lists of (8, TB) blocks, see pallas_scl)
@@ -140,6 +148,15 @@ def main():
                         pt.PolarSCLDecoder(frozen1k, 1024, list_size=Lf,
                                            use_fast_scl=True),
                         2.0, bsf))
+    # the bench.py LEADER config: b=9 fast under a 32 MiB scoped-VMEM
+    # limit (TB=256 batch tile; r4 mislabeled this "whole-tree b=10" —
+    # the true b=10 kernel measures ~274M, slower)
+    configs.append(("scl8_n1024_fast_v32", 512, 1024, enc1k,
+                    pt.PolarSCLDecoder(frozen1k, 1024, list_size=8,
+                                       use_fast_scl=True),
+                    2.0, 8192, False,
+                    {"POLAR_TPU_LOWER_STAGES": "9",
+                     "POLAR_TPU_VMEM_LIMIT_MIB": "32"}))
 
     # OSD-2 on a (64, 128) code (VERDICT r2 task 4): codeword-estimate
     # chain (cw_estimates=True); 2144 patterns swept by the padded scan
@@ -220,6 +237,14 @@ def main():
         ebno = cfg[5] if len(cfg) > 5 else 2.0
         row_bs = cfg[6] if len(cfg) > 6 else bs
         cw_est = cfg[7] if len(cfg) > 7 else False
+        # optional per-row env overrides (read at trace time by the
+        # decode engines), restored after the row either way
+        env_over = cfg[8] if len(cfg) > 8 else None
+        saved_env = {}
+        if env_over:
+            for ek, ev in env_over.items():
+                saved_env[ek] = os.environ.get(ek)
+                os.environ[ek] = str(ev)
         model = pt.SystemAWGNModel(n, k, enc, dec, cw_estimates=cw_est)
         try:
             bps, ber = chain_bps(model, k, row_bs, ebno_db=ebno)
@@ -241,6 +266,12 @@ def main():
                 row["error"] = f"{type(e).__name__}: {e}"[:200]
             results[name] = row
             print(f"{name:24s}: FAILED {type(e).__name__}", flush=True)
+        finally:
+            for ek, ev in saved_env.items():
+                if ev is None:
+                    os.environ.pop(ek, None)
+                else:
+                    os.environ[ek] = ev
 
     with open(out, "w") as fh:
         json.dump(results, fh, indent=1)

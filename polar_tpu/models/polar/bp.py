@@ -59,7 +59,7 @@ class PolarBPDecoder:
                  early_stop: bool = True, check_every: int = 2,
                  use_pallas=None, output_dtype=jnp.float32,
                  two_pass: bool = False, first_pass_iters: int = 8,
-                 min_capacity: int = 128):
+                 min_capacity: int = 128, msg_dtype=jnp.float32):
         n = int(n)
         assert np.log2(n) == int(np.log2(n)), "n must be a power of 2."
         assert num_iter >= 1
@@ -77,6 +77,17 @@ class PolarBPDecoder:
         # sweep taxes the worst-case (non-converging) blocks the most
         self.check_every = max(1, int(check_every))
         self.output_dtype = output_dtype
+        # message-lattice dtype. The XLA engine is HBM-bound (streams
+        # ~3 [n, bs] arrays per stage update — docs/PERFORMANCE.md "BP
+        # roofline"), so bf16 messages halve the traffic that binds it.
+        # llr_max=30 and msf=15/16 are exactly representable in bf16; only
+        # the f/g arithmetic rounds. Opt-in (default f32 keeps the
+        # fixture/engine bit-identity contracts); BLER delta is within MC
+        # noise at n=1024 (tests/test_bp.py, benchmarks/throughput.json
+        # bp20_n1024_bf16). Ignored by the fused Pallas kernel (the axon
+        # compile service cannot lower bf16 vector ops — PERFORMANCE.md
+        # service limits), which keeps f32 and auto-disables here.
+        self.msg_dtype = jnp.dtype(msg_dtype)
         assert mode in F_FUNCTIONS, f"unknown mode {mode!r}"
         self.mode = mode
         self.msf = float(msf)
@@ -113,8 +124,6 @@ class PolarBPDecoder:
             assert self.early_stop, "two_pass needs early_stop"
             self._jit_pass1 = jax.jit(lambda x: self._run(
                 x, self.first_pass_iters, want_done=True))
-            self._jit_pass2 = jax.jit(lambda x: self._run(
-                x, self.num_iter, want_done=True)[0])
             self._jit_cache = {}
 
     def _pairs(self, x, s):
@@ -152,6 +161,7 @@ class PolarBPDecoder:
             # kernel for backends whose compiler handles it.
             use_pallas = (jax.default_backend() not in ("cpu",)
                           and bs % 128 == 0
+                          and self.msg_dtype == jnp.float32
                           and os.environ.get("POLAR_TPU_BP_KERNEL") == "1")
             if use_pallas:
                 # auto mode only engages the fused kernel when its whole
@@ -167,6 +177,9 @@ class PolarBPDecoder:
                 except ValueError:
                     use_pallas = False
         if use_pallas:
+            assert self.msg_dtype == jnp.float32, \
+                "the fused BP kernel is f32-only (bf16 vector ops do not " \
+                "lower on the axon compile service)"
             from polar_tpu.models.polar.pallas_bp import bp_pallas
             res = bp_pallas(
                 llr_ch, jnp.asarray(self._prior), S=S,
@@ -179,11 +192,13 @@ class PolarBPDecoder:
                 return self._finish(res[0]), res[1] > 0
             return self._finish(res), None
 
-        prior = jnp.broadcast_to(jnp.asarray(self._prior)[:, None], (n, bs))
+        dt = self.msg_dtype
+        prior = jnp.broadcast_to(
+            jnp.asarray(self._prior, dtype=dt)[:, None], (n, bs))
 
-        # message lattice: lmsg/rmsg [S+1, n, bs]
-        lmsg = jnp.zeros((S + 1, n, bs), jnp.float32).at[S].set(llr_ch)
-        rmsg = jnp.zeros((S + 1, n, bs), jnp.float32).at[0].set(prior)
+        # message lattice: lmsg/rmsg [S+1, n, bs] in msg_dtype
+        lmsg = jnp.zeros((S + 1, n, bs), dt).at[S].set(llr_ch.astype(dt))
+        rmsg = jnp.zeros((S + 1, n, bs), dt).at[0].set(prior)
 
         def pe(l_next, r_cur, s):
             lu, lv = self._pairs(l_next, s)
@@ -298,13 +313,19 @@ class PolarBPDecoder:
         return cap
 
     def prewarm(self, bs: int, scl_capacity: int = None):
-        """Compile the pass-1 program (at ``bs``) and the full-budget
-        pass-2 program (at the re-decode bucket capacity)."""
+        """Compile the pass-1 program (at ``bs``) and the pass-2 ROWS
+        program decode_pipelined actually executes (concat + gather +
+        full-budget ``_run`` traced inline; arity 1 covers the __call__
+        path) at the re-decode bucket capacity. ADVICE r4: prewarming a
+        plain full-budget ``_run`` left the serving path cold-compiling
+        on its first real batch."""
         if scl_capacity:
             self._cap_hwm = max(self._cap_hwm, int(scl_capacity))
         _, done = self._jit_pass1(jnp.zeros((bs, self.n), jnp.float32))
         np.asarray(done)
-        self._jit_pass2(jnp.zeros((self._cap_hwm, self.n), jnp.float32))
+        np.asarray(self._jitted_pass2_rows(1, self._cap_hwm)(
+            jnp.zeros(self._cap_hwm, jnp.int32),
+            jnp.zeros((bs, self.n), jnp.float32)))
 
     def decode_pipelined(self, llr_batches, scl_batch: int = 8192):
         """Decode many ``[bs_i, n]`` batches with ONE convergence-mask

@@ -56,7 +56,7 @@ def _roll_dn(x, d):
 
 def _bp_kernel(llr_ref, prior_ref, out_ref, *rest, S, num_iter,
                check_every, early_stop, mode, msf, llr_max,
-               return_done=False):
+               slice_min=3, return_done=False):
     if return_done:
         done_ref, lmsg, rmsg, done = rest
     else:
@@ -93,8 +93,11 @@ def _bp_kernel(llr_ref, prior_ref, out_ref, *rest, S, num_iter,
     # form and zero shuffle traffic. Bit-identical by construction (the
     # rowwise where() form computes exactly these expressions per half).
     # Stages 0..2 (span < 8 rows, sub-tile slices) keep the rowwise form.
-    import os as _os
-    SLICE_MIN = int(_os.environ.get("POLAR_TPU_BP_SLICE_MIN", "3"))
+    # ``slice_min`` is resolved by bp_pallas (env POLAR_TPU_BP_SLICE_MIN,
+    # floored at 3) and rides the jit cache key as a static arg —
+    # reading the env here at trace time silently reused stale
+    # executables after an env change (ADVICE r4).
+    SLICE_MIN = slice_min
 
     def pe_l(s):
         span = 1 << s
@@ -197,9 +200,6 @@ def bp_vmem_bytes(n: int, S: int, tb: int) -> int:
     return 4 * tb * (2 * (S + 1) * n + 3 * n + 16)
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "S", "num_iter", "check_every", "early_stop", "mode", "msf", "llr_max",
-    "interpret", "tile", "return_done"))
 def bp_pallas(llr, prior, *, S, num_iter, check_every, early_stop, mode,
               msf, llr_max, interpret=False, tile=None, return_done=False):
     """Fused BP decode. ``llr``: [n, bs] f32 true channel LLRs, ``prior``:
@@ -208,7 +208,28 @@ def bp_pallas(llr, prior, *, S, num_iter, check_every, early_stop, mode,
 
     ``return_done=True`` (needs ``early_stop``) additionally returns the
     kernel's G-matrix convergence flag as ``done [bs] int32`` — the accept
-    test of the two-pass serving path (bp.py ``decode_pipelined``)."""
+    test of the two-pass serving path (bp.py ``decode_pipelined``).
+
+    POLAR_TPU_BP_SLICE_MIN (default/floor 3) picks the lowest stage that
+    uses sliced block updates; it is resolved HERE (not at kernel trace
+    time) so it participates in the jit cache key (ADVICE r4). Values
+    below 3 would produce sub-sublane-tile slices Mosaic has not been
+    validated on, so they are floored."""
+    import os
+    slice_min = max(3, int(os.environ.get("POLAR_TPU_BP_SLICE_MIN", "3")))
+    return _bp_pallas_impl(llr, prior, S=S, num_iter=num_iter,
+                           check_every=check_every, early_stop=early_stop,
+                           mode=mode, msf=msf, llr_max=llr_max,
+                           interpret=interpret, tile=tile,
+                           return_done=return_done, slice_min=slice_min)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "S", "num_iter", "check_every", "early_stop", "mode", "msf", "llr_max",
+    "interpret", "tile", "return_done", "slice_min"))
+def _bp_pallas_impl(llr, prior, *, S, num_iter, check_every, early_stop,
+                    mode, msf, llr_max, interpret=False, tile=None,
+                    return_done=False, slice_min=3):
     n, bs = llr.shape
     assert n == 1 << S
     assert not return_done or early_stop, "return_done needs early_stop"
@@ -222,7 +243,7 @@ def bp_pallas(llr, prior, *, S, num_iter, check_every, early_stop, mode,
         _bp_kernel, S=S, num_iter=int(num_iter),
         check_every=int(check_every), early_stop=bool(early_stop),
         mode=mode, msf=float(msf), llr_max=float(llr_max),
-        return_done=bool(return_done))
+        slice_min=int(slice_min), return_done=bool(return_done))
     bspec = pl.BlockSpec((n, TB), lambda i: (0, i),
                          memory_space=pltpu.VMEM)
     # the prior block is identical for every tile: constant index map

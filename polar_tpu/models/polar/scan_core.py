@@ -923,6 +923,42 @@ def scl_sweep_hybrid(llr_ch, frozen_mask, list_size: int,
 _STALE = "stale"  # dead pointer marker (rewritten before next read)
 
 
+def resolve_fast_lower_stages(S: int, bs: int, use_pallas: bool, L: int,
+                              lower_stages: int | None = None) -> int:
+    """Subtree depth for the FAST (Hashemi-pruned) sweep.
+
+    Unlike the plain hybrid/SC sweeps, the fast sweep supports b = S
+    (whole-tree: m = 1, top = 0 — every upper-stage list is empty and the
+    single unit covers the tree), so both the explicit ``lower_stages``
+    argument and the ``POLAR_TPU_LOWER_STAGES`` env override clamp to S
+    here. ``resolve_lower_stages`` keeps its S-1 clamp for the plain
+    paths, whose scan-ready carry layouts assume top >= 1 (ADVICE r4:
+    the env used to funnel through that clamp, so the whole-tree config
+    was unreachable from bench.py/profile_chain.py at n = 1024).
+
+    Auto (no override) prefers the whole tree for S <= 9 when its kernel
+    fits scoped VMEM (n <= 512 at the 16 MiB default: one kernel per
+    decode, no upper XLA traffic, cold compile <= ~2 min). At n = 1024
+    the whole tree is env-reachable but NOT preferred: measured 274.0M
+    bit/s vs 322-331M for b=9 under a 32 MiB limit (r5, bs=8192) — the
+    monolithic kernel's 16 MiB footprint pins TB=128 while b=9 gets
+    TB=256, and tile width beats dispatch count there."""
+    if lower_stages is not None:
+        return min(int(lower_stages), S)
+    env = os.environ.get("POLAR_TPU_LOWER_STAGES")
+    if env is not None:
+        return min(int(env), S)
+    if use_pallas and L <= 8 and S <= 9:
+        from polar_tpu.models.polar import pallas_scl as pk
+        try:
+            pk.fit_tile(bs, lambda t: pk.scl_vmem_bytes(S, L, t),
+                        vmem_limit=pk._vmem_limit_override())
+            return S
+        except ValueError:
+            pass
+    return resolve_lower_stages(S, bs, use_pallas, L=L)
+
+
 def scl_sweep_hybrid_fast(llr_ch, frozen_mask, list_size: int,
                           mode: str = "minsum", llr_max: float = 30.0,
                           lower_stages: int = DEFAULT_LOWER_STAGES,
@@ -937,28 +973,8 @@ def scl_sweep_hybrid_fast(llr_ch, frozen_mask, list_size: int,
     if use_pallas is None:
         use_pallas = (jax.default_backend() not in ("cpu",)
                       and bs % 128 == 0 and L in (8, 16, 32))
-    # lower_stages may go to b = S here (whole-tree kernel, no upper
-    # stages at all: m = 1, top = 0 — every upper-stage list below is
-    # empty and the single unit covers the tree). The plain hybrid
-    # (scl_sweep_hybrid) keeps its S-1 clamp: its scan-ready carry layout
-    # assumes top >= 1. Auto prefers the whole tree for S <= 9 when its
-    # kernel fits scoped VMEM (n <= 512 at the 16 MiB default: one kernel
-    # per decode, no upper XLA traffic, cold compile <= ~2 min; at n=1024
-    # it needs a raised limit AND a ~10 min cold compile, so it stays
-    # opt-in — bench.py pins it via POLAR_TPU_LOWER_STAGES/VMEM knobs).
-    b = None
-    if (lower_stages is None and use_pallas and L <= 8 and S <= 9
-            and os.environ.get("POLAR_TPU_LOWER_STAGES") is None):
-        from polar_tpu.models.polar import pallas_scl as pk
-        try:
-            pk.fit_tile(bs, lambda t: pk.scl_vmem_bytes(S, L, t),
-                        vmem_limit=pk._vmem_limit_override())
-            b = S
-        except ValueError:
-            b = None
-    if b is None:
-        b = (resolve_lower_stages(S, bs, use_pallas, L=L)
-             if lower_stages is None else min(int(lower_stages), S))
+    b = resolve_fast_lower_stages(S, bs, use_pallas, L,
+                                  lower_stages=lower_stages)
     if b == 0 and use_pallas and L > 8:
         # see scl_sweep_hybrid: blocked kernels need the unrolled outer
         use_pallas = False

@@ -76,6 +76,28 @@ def test_bp_large_n_in_sc_class(n):
     assert ber_bp20 <= 2.0 * ber_sc, (ber_bp20, ber_sc)
 
 
+def test_bp_bf16_messages_close_to_f32():
+    """msg_dtype=bfloat16 (the HBM-traffic lever for the XLA engine, see
+    docs/PERFORMANCE.md BP roofline) must recover noiseless inputs exactly
+    and stay in the f32 engine's BER class on fixed noisy inputs."""
+    n, k = 256, 128
+    frozen, _ = generate_5g_ranking(k, n)
+    enc = PolarEncoder(frozen, n)
+    rng = np.random.default_rng(5)
+    u = rng.integers(0, 2, size=(32, k)).astype(np.float32)
+    c = np.asarray(enc(jnp.asarray(u)))
+    logits = (2.0 * c - 1.0) * 8.0
+    bf = PolarBPDecoder(frozen, n, num_iter=20, msg_dtype=jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(bf(jnp.asarray(logits))), u)
+
+    frozen, noisy, u = _noisy_fixture(n, k, bs=256)
+    ber_bf = np.mean(np.asarray(bf(jnp.asarray(noisy))) != u)
+    f32 = PolarBPDecoder(frozen, n, num_iter=20)
+    ber_f32 = np.mean(np.asarray(f32(jnp.asarray(noisy))) != u)
+    # bf16 rounding shifts individual marginal blocks, not the BER class
+    assert ber_bf <= max(1.5 * ber_f32, ber_f32 + 0.01), (ber_bf, ber_f32)
+
+
 def test_bp_early_stop_matches_full_run():
     """Early stopping must not degrade accuracy on a fixed input set:
     strict (at-or-better) when checking every sweep; within freeze-

@@ -341,6 +341,22 @@ def test_fast_hybrid_random_masks_equal_unrolled():
     _fast_vs_unrolled(whole_tree_rep, n, 8, 3, use_pallas=True, bs=128)
 
 
+def test_env_override_reaches_whole_tree_in_fast_path(monkeypatch):
+    """ADVICE r4 (medium): POLAR_TPU_LOWER_STAGES=S must engage the
+    whole-tree depth in the FAST sweep (clamp to S, not S-1) — the env is
+    the only depth-pinning mechanism bench.py/profile_chain.py use. The
+    plain hybrid keeps its S-1 clamp (carry layout assumes top >= 1)."""
+    from polar_tpu.models.polar import scan_core
+    monkeypatch.setenv("POLAR_TPU_LOWER_STAGES", "10")
+    assert scan_core.resolve_fast_lower_stages(10, 8192, True, 8) == 10
+    assert scan_core.resolve_lower_stages(10, 8192, True, L=8) == 9
+    monkeypatch.setenv("POLAR_TPU_LOWER_STAGES", "99")  # clamps to S
+    assert scan_core.resolve_fast_lower_stages(10, 8192, True, 8) == 10
+    # explicit argument beats the env and also clamps to S
+    assert scan_core.resolve_fast_lower_stages(10, 8192, True, 8,
+                                               lower_stages=11) == 10
+
+
 def test_fast_whole_tree_kernel_equals_unrolled():
     """lower_stages = S (whole-tree kernel, m=1, no upper stages — the
     round-4 bench leader config) must stay bit-identical to the unrolled

@@ -177,12 +177,38 @@ def test_scl_subtree_cold_compiles_at_bench_shape(b, L, bs,
                          mode="minsum", interpret=False).compile()
 
 
+def test_bench_leader_b9_vmem32_cold_compiles(cold_compile_cache,
+                                              monkeypatch):
+    """The shipped bench LEADER: b=9 code-specialized fast-SCL kernels at
+    the TB=256 tile the 32 MiB scoped-VMEM limit admits (r5; r4 mislabeled
+    this config 'whole-tree b=10')."""
+    _tpu_or_skip()
+    from polar_tpu.models.polar.pallas_scl import subtree_pallas
+    from polar_tpu.models.polar.scan_core import split_fast_schedule
+    from polar_tpu.models.polar.construction import generate_5g_ranking
+    monkeypatch.setenv("POLAR_TPU_VMEM_LIMIT_MIB", "32")
+    n, k, bs, b = 1024, 512, 8192, 9
+    frozen, _ = generate_5g_ranking(k, n)
+    mask = np.zeros(n, dtype=bool)
+    mask[frozen] = True
+    units, _ = split_fast_schedule(mask, b)
+    a = jax.ShapeDtypeStruct((1 << b, 8, bs), jnp.float32)
+    pm = jax.ShapeDtypeStruct((8, bs), jnp.float32)
+    for unit in units:
+        if unit[0] == "sub":
+            subtree_pallas.lower(
+                a, None, pm, b=b, L=8, llr_max=30.0, mode="minsum",
+                sched_static=tuple(unit[2]), interpret=False).compile()
+
+
 @pytest.mark.slow
-def test_whole_tree_b10_bench_leader_cold_compiles(cold_compile_cache,
-                                                   monkeypatch):
-    """The round-4 bench LEADER: whole-tree fast-SCL kernel (b=10, L=8,
-    bs=8192) under the 32 MiB scoped-VMEM limit. Cold kernel compile is
-    ~10 min (slow-marked; POLAR_TPU_TEST_SLOW=1)."""
+def test_whole_tree_b10_kernel_cold_compiles(cold_compile_cache,
+                                             monkeypatch):
+    """The whole-tree fast-SCL kernel (b=10, L=8, bs=8192) under the
+    32 MiB scoped-VMEM limit. No longer the bench leader (measured 274.0M
+    vs b=9/TB=256's 322-331M bit/s, r5) but env-reachable
+    (POLAR_TPU_LOWER_STAGES=10), so its compile stays gated.
+    Cold kernel compile ~10 min (slow-marked; POLAR_TPU_TEST_SLOW=1)."""
     _tpu_or_skip()
     from polar_tpu.models.polar.pallas_scl import subtree_pallas
     from polar_tpu.models.polar.scan_core import fast_schedule
