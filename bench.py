@@ -58,9 +58,9 @@ def build_step(k, n, L, bs, lower_stages, fast_scl, traced=False,
     the cond kernel's ~2.2x scf.if stack spill needs the raised limit to
     keep b=9/TB=128 (measured 194.4M bit/s vs 160.7M branchless, both
     traced, cold compile ~6 min). ``vmem_mib`` raises the scoped-VMEM
-    limit without cond — the headline b=9 fast config under 32 MiB gets
-    a 2x batch tile (TB=256) out of it, worth ~25% over the 16 MiB
-    default (328.4M vs ~262M bit/s at bs=8192)."""
+    limit without cond — the headline b=9 fast config gets a wider batch
+    tile out of it (TB = 128/256/512 at 16/32/64 MiB; 262M -> 322M ->
+    374M bit/s at bs=8192, r5)."""
     _set_env("POLAR_TPU_LOWER_STAGES",
              None if lower_stages is None else lower_stages)
     _set_env("POLAR_TPU_TRACED_KERNEL", "1" if traced else None)
@@ -157,17 +157,21 @@ def main():
                 return True
         return False
 
-    # ladder leader: the b=9 code-specialized fast config under a 32 MiB
-    # scoped-VMEM limit (the raised limit doubles the legal batch tile —
-    # that, not subtree depth, was the round-4 gain). Round 4 labeled this
-    # config "b=10 whole tree", but the env override clamped to b=9
-    # (ADVICE r4); after the r5 clamp fix the TRUE whole-tree b=10 kernel
-    # measured 274.0M bit/s vs this config's 328.4M (BENCH_r04) — one
-    # monolithic kernel loses to two b=9 kernels + a thin upper stage.
+    # ladder leaders: the b=9 code-specialized fast config under a RAISED
+    # scoped-VMEM limit — the limit sets the legal batch tile (fit_tile:
+    # 16 MiB->TB=128, 32->256, 64->512), and tile width is what the
+    # round-4/5 gains actually were. Measured r5 (2026-08-19, bs=8192):
+    # 64 MiB/TB=512 -> 374.1M bit/s; 32 MiB/TB=256 -> 322.1M (the
+    # BENCH_r04 config, which round 4 mislabeled "b=10 whole tree" — the
+    # env override clamped to b=9; the TRUE b=10 kernel, reachable after
+    # the r5 clamp fix, measured 274.0M: one monolithic kernel loses to
+    # two b=9 kernels at a 2x tile). 96 MiB/TB=1024 fails to compile
+    # (real VMEM exceeded) — 64 is the frontier; 32 stays as fallback.
     # Only when the env didn't pin a depth and the fast engine is on.
-    vmem32_leader = ([(True, 9, False, False, 32)]
-                     if env_b is None and fast_default else [])
-    specialized = vmem32_leader + \
+    vmem_leaders = ([(True, 9, False, False, 64),
+                     (True, 9, False, False, 32)]
+                    if env_b is None and fast_default else [])
+    specialized = vmem_leaders + \
         [(f, b, False, False)
          for f in ([True, False] if fast_default else [False])
          for b in bees + [8, 7, 5]]

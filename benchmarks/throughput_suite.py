@@ -148,15 +148,16 @@ def main():
                         pt.PolarSCLDecoder(frozen1k, 1024, list_size=Lf,
                                            use_fast_scl=True),
                         2.0, bsf))
-    # the bench.py LEADER config: b=9 fast under a 32 MiB scoped-VMEM
-    # limit (TB=256 batch tile; r4 mislabeled this "whole-tree b=10" —
-    # the true b=10 kernel measures ~274M, slower)
-    configs.append(("scl8_n1024_fast_v32", 512, 1024, enc1k,
+    # the bench.py LEADER config: b=9 fast under a 64 MiB scoped-VMEM
+    # limit (TB=512 batch tile — the limit sets the tile; r4 mislabeled
+    # the 32 MiB variant "whole-tree b=10", and the true b=10 kernel
+    # measures ~274M, slower than either)
+    configs.append(("scl8_n1024_fast_v64", 512, 1024, enc1k,
                     pt.PolarSCLDecoder(frozen1k, 1024, list_size=8,
                                        use_fast_scl=True),
                     2.0, 8192, False,
                     {"POLAR_TPU_LOWER_STAGES": "9",
-                     "POLAR_TPU_VMEM_LIMIT_MIB": "32"}))
+                     "POLAR_TPU_VMEM_LIMIT_MIB": "64"}))
 
     # OSD-2 on a (64, 128) code (VERDICT r2 task 4): codeword-estimate
     # chain (cw_estimates=True); 2144 patterns swept by the padded scan
