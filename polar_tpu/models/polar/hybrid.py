@@ -138,15 +138,21 @@ class HybridSCLDecoder:
         return out
 
     def prewarm(self, bs: int, scl_capacity: int = None):
-        """Compile the SC program (at ``bs``) and the SCL program (at
-        ``scl_capacity``) ahead of a timed or latency-sensitive run, and
+        """Compile the SC program (at ``bs``) and the SCL ROWS program the
+        re-decode paths actually execute (concat + gather + decode traced
+        inline; arity 1 covers ``__call__``) at the bucket capacity, and
         pin the capacity high-water mark so later re-decodes reuse the
-        compiled bucket instead of specializing smaller ones."""
+        compiled bucket instead of specializing smaller ones. (Same fix as
+        PolarBPDecoder.prewarm, ADVICE r4: warming the plain SCL __call__
+        program left the serving path cold on its first real batch.)"""
         if scl_capacity:
             self._cap_hwm = max(self._cap_hwm, int(scl_capacity))
         _, ok = self._jit_sc_crc(jnp.zeros((bs, self.n), jnp.float32))
         np.asarray(ok)
-        self._scl(jnp.zeros((self._cap_hwm, self.n), jnp.float32))
+        res = self._jitted_scl_rows(1, self._cap_hwm)(
+            jnp.zeros(self._cap_hwm, jnp.int32),
+            jnp.zeros((bs, self.n), jnp.float32))
+        np.asarray(jax.tree_util.tree_leaves(res)[0])
 
     # ------------------------------------------------------------------
     # production/serving path: deferred cross-batch re-decode
