@@ -48,10 +48,14 @@ def pytest_configure(config):
 
 
 # Quick-lane registry (POLAR_TPU_TEST_QUICK=1): the measured slowest tests
-# of the full CPU suite (>= ~14 s each, 2026-08-19 cold run on this 1-CPU
-# container; full suite 45-48 min, quick lane ~12 min). NOTHING is deleted:
-# the full suite (default) still runs every test; quick is the dev loop.
+# of the full CPU suite (>= ~14 s each, re-measured 2026-08-19 r5: full
+# suite 36m42s warm-cache on this 1-CPU container — top-12 tests are 38%
+# of the wall-clock, all trace/interpret-bound, so pytest-xdist (installed
+# but useless on one core) and batch shrinking don't help; quick lane
+# ~8-10 min). NOTHING is deleted: the full suite (default) still runs
+# every test; quick is the dev loop.
 _QUICK_SKIP = {
+    "test_bp_bf16_messages_close_to_f32",
     "test_5g_crc_status",
     "test_5g_downlink_roundtrip[30-120-SCL]",
     "test_5g_scl_decoder_matches_reference[32-140]",
