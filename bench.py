@@ -48,7 +48,7 @@ def _set_env(key, value):
 
 
 def build_step(k, n, L, bs, lower_stages, fast_scl, traced=False,
-               cond32=False, vmem_mib=None):
+               cond32=False, vmem_mib=None, rate1=None):
     """Fresh model + fused jitted chain step at the given subtree depth.
     ``lower_stages=None`` -> the VMEM-model auto choice; ``traced`` forces
     the generic (frz-in-SMEM) kernel whose cold Mosaic compile is minutes
@@ -72,8 +72,10 @@ def build_step(k, n, L, bs, lower_stages, fast_scl, traced=False,
         _set_env("POLAR_TPU_VMEM_LIMIT_MIB", vmem_mib)
     frozen, _ = pt.generate_5g_ranking(k, n)
     enc = pt.PolarEncoder(frozen, n)
+    # rate1: True/False pins the rate-1 node shortcuts for this config;
+    # None defers to the POLAR_TPU_FAST_RATE1 env (user override)
     dec = pt.PolarSCLDecoder(frozen, n, list_size=L,
-                             use_fast_scl=fast_scl)
+                             use_fast_scl=fast_scl, fast_rate1=rate1)
     model = pt.SystemAWGNModel(n, k, enc, dec)
     from polar_tpu.sim import count_errors
 
@@ -137,6 +139,8 @@ def main():
             int(cfg[2]), int(cfg[3]), bs, L)
         if len(cfg) > 4 and cfg[4]:
             tag += f"_vmem{cfg[4]}"
+        if len(cfg) > 5 and cfg[5]:
+            tag += "_r1"
         return os.path.join(cache_dir, f".bench_ok_{tag}") if cache_dir \
             else ""
 
@@ -168,7 +172,13 @@ def main():
     # two b=9 kernels at a 2x tile). 96 MiB/TB=1024 fails to compile
     # (real VMEM exceeded) — 64 is the frontier; 32 stays as fallback.
     # Only when the env didn't pin a depth and the fast engine is on.
-    vmem_leaders = ([(True, 9, False, False, 64),
+    # r5: the rate-1 ('o' node) specialized kernel leads — same b=9/64 MiB
+    # tile but the Hashemi rate-1 shortcuts cut the in-kernel fork count
+    # 512 -> 310 and drop all descent below all-info node roots. The
+    # non-rate1 configs stay as the next rungs (also the bit-contract the
+    # BLER fixtures pin).
+    vmem_leaders = ([(True, 9, False, False, 64, True),
+                     (True, 9, False, False, 64),
                      (True, 9, False, False, 32)]
                     if env_b is None and fast_default else [])
     specialized = vmem_leaders + \
@@ -206,16 +216,18 @@ def main():
     for cfg in ladder:
         fast_cfg, b_cfg, traced_cfg, cond_cfg = cfg[:4]
         vmem_cfg = cfg[4] if len(cfg) > 4 else None
+        rate1_cfg = cfg[5] if len(cfg) > 5 else None
         for attempt in (1, 2):
             try:
                 step, dec = build_step(k, n, L, bs, b_cfg, fast_cfg,
                                        traced=traced_cfg, cond32=cond_cfg,
-                                       vmem_mib=vmem_cfg)
+                                       vmem_mib=vmem_cfg, rate1=rate1_cfg)
                 # compile + warmup (excluded from timing)
                 float(step(jax.random.PRNGKey(0), jnp.float32(2.0)))
                 print(f"# config fast={fast_cfg} b={b_cfg} "
                       f"traced={traced_cfg} cond={cond_cfg} "
-                      f"vmem={vmem_cfg} compiled+warm in "
+                      f"vmem={vmem_cfg} rate1={dec.fast_rate1} "
+                      f"compiled+warm in "
                       f"{time.perf_counter() - t_ladder:.1f}s",
                       file=sys.stderr)
                 m = marker(cfg)
@@ -273,14 +285,16 @@ def _diagnostics(step, dec, n, k, L, bs, iters, dt, errs, bits):
     # diagnostics to stderr only (keep stdout one-line)
     print(f"# device={jax.devices()[0]} bs={bs} iters={iters} "
           f"time={dt:.3f}s ber@2dB={errs / bits:.4f} "
-          f"schedule={dec.schedule} fast_scl={dec.use_fast_scl}",
+          f"schedule={dec.schedule} fast_scl={dec.use_fast_scl} "
+          f"rate1={getattr(dec, 'fast_rate1', False)}",
           file=sys.stderr)
 
     # ops/roofline meter (SURVEY section 5 row 1): closed-form decode op
     # count + XLA's own cost analysis of the full jitted chain step
     from polar_tpu.utils.profiling import decode_complexity, complexity_line
     comp = decode_complexity(n, k, L, frozen_mask=dec._frozen_mask,
-                             fast=dec.use_fast_scl)
+                             fast=dec.use_fast_scl,
+                             rate1=getattr(dec, "fast_rate1", False))
     print(complexity_line(f"SCL-{L}", comp), file=sys.stderr)
     try:
         analysis = step.lower(jax.random.PRNGKey(0),

@@ -118,7 +118,8 @@ def main(c: PolarConfig = None):
             fast = bool(getattr(dec, "use_fast_scl", False)) and L > 1
             comp = decode_complexity(
                 c.n, c.k, L, fast=fast,
-                frozen_mask=getattr(dec, "_frozen_mask", None))
+                frozen_mask=getattr(dec, "_frozen_mask", None),
+                rate1=bool(getattr(dec, "fast_rate1", False)))
         if comp is not None:
             print(complexity_line(name, comp))
         ber_plot.simulate(

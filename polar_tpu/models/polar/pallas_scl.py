@@ -221,6 +221,58 @@ def _subtree_kernel(*refs, b, L, llr_max, mode, frz_static=None,
             # rate-0 node: bulk pm update (Eq. 26), all-zero partial sums
             pm = pm + jnp.sum(softplus(-clip(cur)), axis=0)
             ubit = jnp.zeros((w_nd, L, TB), jnp.int32)
+        elif kind == "o":
+            # rate-1 node (fast_rate1): decode at the node top — base PM
+            # pays the hard-decision penalty, then theta = min(L-1, w)
+            # sequential forks each offer "flip the t-th least reliable
+            # position" (Hashemi fast-SSCL; scl.py _rate1_node semantics).
+            # Flip decisions are recorded as (row, flip) pairs and
+            # re-permuted per fork — O(theta^2) small gathers instead of
+            # theta full [w, L, TB] mask gathers.
+            a_c = clip(cur)
+            aab = jnp.abs(a_c)
+            pm = pm + jnp.sum(softplus(-aab), axis=0)
+            hd = (a_c < 0).astype(jnp.int32)
+            theta = min(L - 1, w_nd)
+            iota_w = lax.broadcasted_iota(jnp.int32, (w_nd, L, TB), 0)
+            # ascending per-path |LLR| extraction (ties -> lower row)
+            tmp = aab
+            svals, srows = [], []
+            for _t in range(theta):
+                v = jnp.min(tmp, axis=0)                    # [L, TB]
+                r_ = jnp.min(jnp.where(tmp == v[None], iota_w, w_nd),
+                             axis=0)
+                svals.append(v)
+                srows.append(r_)
+                tmp = jnp.where(iota_w == r_[None], _BIG, tmp)
+            qn = None                  # node-local parent composition
+            recs = []                  # (row, flip) pairs, current order
+            for t in range(theta):
+                val_t = (svals[t] if qn is None
+                         else _gather_rows(svals[t], qn))
+                pmc = jnp.concatenate([pm, pm + val_t], axis=0)
+                pm, sel = top_l(pmc)
+                parent = sel % L
+                flip = sel // L
+                qn = pgather(qn, parent)
+                recs = [(_gather_rows(r_, parent),
+                         _gather_rows(f_, parent)) for r_, f_ in recs]
+                recs.append((_gather_rows(srows[t], qn), flip))
+                lptr = [pgather(p, parent) if _lptr_live(s, i_end)
+                        else _STALE for s, p in enumerate(lptr)]
+                uptr = [pgather(p, parent)
+                        if _uptr_live(s, i_end, s_nd) else _STALE
+                        for s, p in enumerate(uptr)]
+                P = pgather(P, parent)
+            if qn is None:
+                c = hd
+            else:
+                c = jnp.stack([_gather_rows(hd[j], qn)
+                               for j in range(w_nd)], axis=0)
+            for row_t, flip in recs:
+                c = c ^ jnp.where(
+                    (iota_w == row_t[None]) & (flip[None] == 1), 1, 0)
+            ubit = c
         else:
             if kind == "r":
                 # repetition node: one fork for the repeated bit (Eq. 31)
@@ -485,6 +537,53 @@ def _subtree_kernel_blocked(*refs, b, L, llr_max, mode, frz_static=None,
             pm = [pm[h] + jnp.sum(softplus(-clip(cur[h])), axis=0)
                   for h in range(nb)]
             ubit = [jnp.zeros((w_nd, 8, TB), jnp.int32) for _ in range(nb)]
+        elif kind == "o":
+            # rate-1 node (fast_rate1), blocked form of _subtree_kernel's
+            # 'o' op: per-block sort (each block holds 8 whole paths),
+            # blocked forks, (row, flip) records re-permuted per fork
+            a_c = [clip(cur[h]) for h in range(nb)]
+            aab = [jnp.abs(x) for x in a_c]
+            pm = [pm[h] + jnp.sum(softplus(-aab[h]), axis=0)
+                  for h in range(nb)]
+            hd = [(x < 0).astype(jnp.int32) for x in a_c]
+            theta = min(L - 1, w_nd)
+            iota_w3 = lax.broadcasted_iota(jnp.int32, (w_nd, 8, TB), 0)
+            tmp = list(aab)
+            svals, srows = [], []
+            for _t in range(theta):
+                v = [jnp.min(tmp[h], axis=0) for h in range(nb)]
+                r_ = [jnp.min(jnp.where(tmp[h] == v[h][None], iota_w3,
+                                        w_nd), axis=0) for h in range(nb)]
+                svals.append(v)
+                srows.append(r_)
+                tmp = [jnp.where(iota_w3 == r_[h][None], _BIG, tmp[h])
+                       for h in range(nb)]
+            qn = None
+            recs = []
+            for t in range(theta):
+                val_t = (svals[t] if qn is None
+                         else _bgather(svals[t], qn))
+                cand = (list(pm)
+                        + [pm[h] + val_t[h] for h in range(nb)])
+                pm, sel = top_l(cand)
+                parent = [sel[h] % L for h in range(nb)]
+                flip = [sel[h] // L for h in range(nb)]
+                qn = bpgather(qn, parent)
+                recs = [(_bgather(r_, parent), _bgather(f_, parent))
+                        for r_, f_ in recs]
+                recs.append((_bgather(srows[t], qn), flip))
+                lptr = [bpgather(p, parent) if _lptr_live(s, i_end)
+                        else _STALE for s, p in enumerate(lptr)]
+                uptr = [bpgather(p, parent)
+                        if _uptr_live(s, i_end, s_nd) else _STALE
+                        for s, p in enumerate(uptr)]
+                P = bpgather(P, parent)
+            c = hd if qn is None else gathered_slab(hd, qn)
+            for row_t, flip in recs:
+                c = [c[h] ^ jnp.where((iota_w3 == row_t[h][None])
+                                      & (flip[h][None] == 1), 1, 0)
+                     for h in range(nb)]
+            ubit = c
         else:
             if kind == "r":
                 # repetition node: one fork for the repeated bit (Eq. 31)
@@ -692,7 +791,8 @@ def _vmem_limit_override() -> int | None:
     return None if v is None else int(v) * 2 ** 20
 
 
-def scl_vmem_bytes(b: int, L: int, tb: int, cond: bool = False) -> int:
+def scl_vmem_bytes(b: int, L: int, tb: int, cond: bool = False,
+                   o_span: int = 0) -> int:
     """Total VMEM footprint of ``subtree_pallas`` at batch tile ``tb``:
     scratch (lloc f32 + uloc i32, 2^b - 1 rows each) plus the in/out
     blocks (a f32 + cw i32, 2^b rows each; pm in + P/pm out, 3 rows).
@@ -700,9 +800,16 @@ def scl_vmem_bytes(b: int, L: int, tb: int, cond: bool = False) -> int:
     ``cond=True`` budgets the cond-leaves kernel's measured ~2x VMEM-stack
     spill (each scf.if region's operands/results get stack slots the
     branchless form doesn't need: b=9 L=8 TB=128 -> 17.01M actual vs 8.39M
-    modeled; 2.2x keeps headroom)."""
+    modeled; 2.2x keeps headroom).
+
+    ``o_span`` (max 2^s over the schedule's rate-1 'o' ops, 0 if none)
+    budgets the extra live [o_span, L, tb] node temps the rate-1 op keeps
+    on the VMEM stack (|LLR|, masked extraction copy, hard decisions,
+    flip one-hots — ~4 arrays) on top of the descent value the other node
+    kinds also hold."""
     w = 1 << b
     base = 4 * L * tb * (2 * (w - 1) + 2 * w + 3)
+    base += 4 * 4 * L * tb * int(o_span)
     return int(2.2 * base) if cond else base
 
 
@@ -770,15 +877,20 @@ def subtree_pallas(a, frz, pm, *, b, L, llr_max, mode, interpret=False,
     ``scan_core.fast_schedule``) compiles the fast-SCL pruned kernel
     (Hashemi rate-0 / repetition shortcuts, reference default
     ``use_fast_scl=True`` — my_sn/fec/polar/dec.py:264-307); mutually
-    redundant with frz_static (the schedule fixes the frozen set)."""
+    redundant with frz_static (the schedule fixes the frozen set).
+    Schedules from ``fast_schedule(..., rate1=True)`` additionally carry
+    'o' (rate-1) ops: theta = min(L-1, 2^s) least-reliable-flip forks at
+    the node top with no leaf descent (the ``fast_rate1`` contract)."""
     w_sub, L_, bs = a.shape
     assert w_sub == (1 << b) and L_ == L
     W = (1 << b) - 1  # stages 0..b-1 only; stage b reads the input block
     static = frz_static is not None or sched_static is not None
     cond_on = bool(cond_leaves) and not static and L <= 8
     vlim = _vmem_limit_override()
+    o_span = max((1 << s for kind, s, _ in (sched_static or ())
+                  if kind == "o"), default=0)
     TB = tile if tile is not None else fit_tile(
-        bs, lambda t: scl_vmem_bytes(b, L, t, cond=cond_on),
+        bs, lambda t: scl_vmem_bytes(b, L, t, cond=cond_on, o_span=o_span),
         vmem_limit=vlim)
     TB = min(TB, bs)
     assert bs % TB == 0, f"bs={bs} must be a multiple of the tile {TB}"

@@ -93,7 +93,7 @@ def leaf_schedule(n: int):
     return S, desc, rise
 
 
-def fast_schedule(frozen_mask, rep: bool = True):
+def fast_schedule(frozen_mask, rep: bool = True, rate1: bool = False):
     """Fast-SCL pruned node schedule (Hashemi rate-0 / repetition), exactly
     mirroring the unrolled engine's recursion (scl.py _node: a node at
     stage >= 1 prunes if its whole span is frozen — Eq. 26 bulk PM update —
@@ -102,12 +102,18 @@ def fast_schedule(frozen_mask, rep: bool = True):
 
         ('z', s, lo)  rate-0 node covering [lo, lo + 2^s)
         ('r', s, lo)  repetition node
+        ('o', s, lo)  rate-1 (all-info) node, only with ``rate1=True``
         ('f', 0, lo)  frozen leaf
         ('i', 0, lo)  info leaf
 
     ``rep=False`` emits only rate-0 prunes — for SC, where a rate-0 node's
     partial sums are all-zero regardless of its LLRs, so the pruned sweep
     is bit-identical to the plain one (repetition shortcuts would not be).
+
+    ``rate1=True`` additionally prunes all-info nodes (Hashemi fast-SSCL:
+    theta = min(L-1, 2^s) least-reliable-flip forks at the node top, no
+    leaf descent) — the opt-in ``fast_rate1`` engine contract, beyond the
+    reference's rate-0/rep set.
     """
     mask = np.asarray(frozen_mask, dtype=bool)
     n = len(mask)
@@ -120,6 +126,8 @@ def fast_schedule(frozen_mask, rep: bool = True):
             ops.append(("z", s, lo))
         elif rep and s >= 1 and not seg[-1] and seg[:-1].all():
             ops.append(("r", s, lo))
+        elif rate1 and s >= 1 and not seg.any():
+            ops.append(("o", s, lo))
         elif s == 0:
             ops.append(("f" if seg[0] else "i", 0, lo))
         else:
@@ -130,15 +138,18 @@ def fast_schedule(frozen_mask, rep: bool = True):
     return ops
 
 
-def split_fast_schedule(frozen_mask, b):
+def split_fast_schedule(frozen_mask, b, rate1: bool = False):
     """Partition the global fast schedule at the two-level boundary 2^b.
 
     Returns ``(units, has_upper_rep)`` where ``units`` is a leaf-ordered
     list of either ``('sub', j, sched_j)`` — subtree ``j`` with its local
-    op tuple (stages <= b, ``lo`` subtree-local) — or ``('z', s, j0, q)``
-    — an upper rate-0 node at stage ``s > b`` covering the ``q = 2^(s-b)``
-    subtrees starting at ``j0``. Upper repetition nodes (possible only in
-    pathological frozen sets) are flagged, not split."""
+    op tuple (stages <= b, ``lo`` subtree-local) — or ``('z'|'r'|'o', s,
+    j0, q)`` — an upper node at stage ``s > b`` covering the
+    ``q = 2^(s-b)`` subtrees starting at ``j0``. Upper repetition nodes
+    (possible only in pathological frozen sets) are flagged, not split.
+    Upper rate-1 nodes (``rate1=True``, high-rate codes) are handled at
+    their true stage so the sweep stays bit-identical to the unrolled
+    engine for any subtree depth ``b``."""
     units, has_upper_rep = [], False
     cur_j, cur_ops = None, []
 
@@ -148,7 +159,7 @@ def split_fast_schedule(frozen_mask, b):
             units.append(("sub", cur_j, tuple(cur_ops)))
             cur_j, cur_ops = None, []
 
-    for kind, s, lo in fast_schedule(frozen_mask):
+    for kind, s, lo in fast_schedule(frozen_mask, rate1=rate1):
         if s > b:
             flush()
             if kind == "r":
@@ -962,11 +973,17 @@ def resolve_fast_lower_stages(S: int, bs: int, use_pallas: bool, L: int,
 def scl_sweep_hybrid_fast(llr_ch, frozen_mask, list_size: int,
                           mode: str = "minsum", llr_max: float = 30.0,
                           lower_stages: int = DEFAULT_LOWER_STAGES,
-                          use_pallas=None):
+                          use_pallas=None, rate1: bool = False):
     """Two-level fast-SCL sweep. Same contract as ``scl_sweep_hybrid``
     (returns ``(u [n, L, bs] int8, pm [L, bs])``), but runs the Hashemi
     rate-0/repetition pruned node schedule — bit-identical to
-    ``PolarSCLDecoder(schedule='unrolled', use_fast_scl=True)``."""
+    ``PolarSCLDecoder(schedule='unrolled', use_fast_scl=True)``.
+
+    ``rate1=True`` additionally prunes all-info nodes (theta sequential
+    least-reliable-flip forks at the node top; see scl.py _rate1_node) —
+    bit-identical to the unrolled engine with ``fast_rate1=True``. Nodes
+    spanning whole subtrees are handled at their true stage in the outer
+    sweep, so the contract holds for any subtree depth ``b``."""
     n, bs = llr_ch.shape
     S = int(np.log2(n))
     L = int(list_size)
@@ -986,7 +1003,7 @@ def scl_sweep_hybrid_fast(llr_ch, frozen_mask, list_size: int,
     top = S - b
     N_LB = top - 1
     mask = np.asarray(frozen_mask, dtype=bool)
-    units, _ = split_fast_schedule(mask, b)
+    units, _ = split_fast_schedule(mask, b, rate1=rate1)
     llr_bc = jnp.broadcast_to(llr_ch[:, None, :], (n, L, bs))
     ident = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[:, None],
                              (L, bs))
@@ -1130,6 +1147,44 @@ def scl_sweep_hybrid_fast(llr_ch, frozen_mask, list_size: int,
             elif kind == "z":
                 pm = pm + jnp.sum(_softplus(-clip(cur)), axis=0)
                 ubit = jnp.zeros((w_nd, L, bs), jnp.int8)
+            elif kind == "o":
+                # rate-1 node: hard-decision base PM + theta sequential
+                # least-reliable-flip forks (scl.py _rate1_node semantics)
+                a_c = clip(cur)
+                aab = jnp.abs(a_c)
+                pm = pm + jnp.sum(_softplus(-aab), axis=0)
+                hd = (a_c < 0).astype(jnp.int8)
+                theta = min(L - 1, w_nd)
+                negv, rows = lax.top_k(jnp.moveaxis(-aab, 0, -1), theta)
+                vals = -negv                          # [L, bs, theta]
+                qn = None
+                fm = jnp.zeros((w_nd, L, bs), jnp.int8)
+                iota_w = jnp.arange(w_nd, dtype=jnp.int32)[:, None, None]
+                for t in range(theta):
+                    val_t = vals[:, :, t]
+                    if qn is not None:
+                        val_t = jnp.take_along_axis(val_t, qn, axis=0)
+                    pmc = jnp.concatenate([pm, pm + val_t], axis=0)
+                    neg_vals, idxk = lax.top_k(-pmc.T, L)
+                    pm = (-neg_vals).T
+                    parent = (idxk % L).T.astype(jnp.int32)
+                    flip = (idxk // L).T.astype(jnp.int8)
+                    p3 = parent[None]
+                    lloc = jnp.take_along_axis(lloc, p3, axis=1)
+                    uloc = jnp.take_along_axis(uloc, p3, axis=1)
+                    P = parent if P is None \
+                        else jnp.take_along_axis(P, parent, axis=0)
+                    qn = (parent if qn is None
+                          else jnp.take_along_axis(qn, parent, axis=0))
+                    fm = jnp.take_along_axis(fm, p3, axis=1)
+                    row_t = jnp.take_along_axis(
+                        rows[:, :, t].astype(jnp.int32), qn, axis=0)
+                    fm = fm ^ jnp.where(
+                        (iota_w == row_t[None]) & (flip[None] == 1),
+                        jnp.int8(1), jnp.int8(0))
+                c = (hd if qn is None
+                     else jnp.take_along_axis(hd, qn[None], axis=1))
+                ubit = c ^ fm
             else:
                 if kind == "r":
                     a_c = clip(cur)
@@ -1188,6 +1243,56 @@ def scl_sweep_hybrid_fast(llr_ch, frozen_mask, list_size: int,
                 for jj in range(j0, j_end + 1):
                     cws_l[jj] = jnp.zeros((w_sub, L, bs), jnp.int8)
                     ps_l[jj] = None
+            elif kind == "o":
+                # rate-1 spanning q subtrees, at its TRUE stage (the
+                # unrolled engine prunes maximal nodes, so handling it
+                # lower would change the numerics): theta sequential
+                # least-reliable-flip forks, each composing the live
+                # upper pointers like any other upper fork
+                w_nd = 1 << s_real
+                a_c = clip(cur)
+                aab = jnp.abs(a_c)
+                pm = pm + jnp.sum(_softplus(-aab), axis=0)
+                hd = (a_c < 0).astype(jnp.int8)
+                theta = min(L - 1, w_nd)
+                negv, rows = lax.top_k(jnp.moveaxis(-aab, 0, -1), theta)
+                vals = -negv
+                qn = None
+                fm = jnp.zeros((w_nd, L, bs), jnp.int8)
+                iota_w = jnp.arange(w_nd, dtype=jnp.int32)[:, None, None]
+                for t in range(theta):
+                    val_t = vals[:, :, t]
+                    if qn is not None:
+                        val_t = jnp.take_along_axis(val_t, qn, axis=0)
+                    pmc = jnp.concatenate([pm, pm + val_t], axis=0)
+                    neg_vals, idxk = lax.top_k(-pmc.T, L)
+                    pm = (-neg_vals).T
+                    parent = (idxk % L).T.astype(jnp.int32)
+                    flip = (idxk // L).T.astype(jnp.int8)
+                    compose_live(parent, j_end, sg_nd)
+                    qn = (parent if qn is None
+                          else jnp.take_along_axis(qn, parent, axis=0))
+                    fm = jnp.take_along_axis(fm, parent[None], axis=1)
+                    row_t = jnp.take_along_axis(
+                        rows[:, :, t].astype(jnp.int32), qn, axis=0)
+                    fm = fm ^ jnp.where(
+                        (iota_w == row_t[None]) & (flip[None] == 1),
+                        jnp.int8(1), jnp.int8(0))
+                c = (hd if qn is None
+                     else jnp.take_along_axis(hd, qn[None], axis=1)) ^ fm
+                node_sums = c
+                # per-subtree emissions must be STAGE-b codewords (the
+                # final tail per-subtree-transforms them into leaf
+                # decisions), so undo the node's upper combine levels:
+                # apply the butterfly along the covered-chunk axis. (The
+                # upper rep node skips this because its only info leaf is
+                # the node's last — broadcast agrees there.)
+                e = polar_transform(c.reshape(q, w_sub, L, bs), axis=0)
+                for jj in range(j0, j_end + 1):
+                    cws_l[jj] = e[jj - j0]
+                    # the node's composed parent map rides the FIRST
+                    # covered subtree (same rule as the upper rep fork)
+                    ps_l[jj] = qn if jj == j0 else None
             else:
                 # repetition spanning q subtrees: one fork (Eq. 31)
                 a_c = clip(cur)

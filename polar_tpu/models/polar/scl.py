@@ -55,7 +55,8 @@ class PolarSCLDecoder:
                  use_fast_scl=None, return_crc_status: bool = False,
                  mode: str = "minsum", llr_max: float = 30.0,
                  ind_iil_inv=None, schedule: str = "auto",
-                 pc_pos=None, output_dtype=jnp.float32):
+                 pc_pos=None, output_dtype=jnp.float32,
+                 fast_rate1=None):
         n = int(n)
         assert len(frozen_pos) <= n
         assert np.log2(n) == int(np.log2(n)), "n must be a power of 2."
@@ -148,6 +149,16 @@ class PolarSCLDecoder:
             self.use_fast_scl = schedule == "unrolled"
         else:
             self.use_fast_scl = bool(use_fast_scl)
+        # Rate-1 node shortcuts (Hashemi fast-SSCL, beyond the reference's
+        # rate-0/rep set): opt-in — default None resolves from the
+        # POLAR_TPU_FAST_RATE1 env (bench leader config), else False to
+        # keep the established reference-parity fast contract. Only
+        # meaningful on the fast path; requires use_fast_scl.
+        if fast_rate1 is None:
+            import os
+            fast_rate1 = os.environ.get("POLAR_TPU_FAST_RATE1", "0") == "1"
+        self.fast_rate1 = bool(fast_rate1) and self.use_fast_scl \
+            and self.pc_pos is None
 
         self._jit_decode = jax.jit(self._decode_2d)
 
@@ -156,7 +167,8 @@ class PolarSCLDecoder:
     # ------------------------------------------------------------------
     def _fork(self, state, pmc, last_leaf: int, min_stage: int):
         """pmc: [2L, bs] candidate PMs, candidate j = (bit j//L, parent j%L).
-        Returns (state, ubit[L, bs] int8) for the surviving paths."""
+        Returns (state, ubit[L, bs] int8, parent[L, bs] int32) for the
+        surviving paths."""
         lbuf, u0, pm, y = state
         L = self.list_size
         neg_vals, idx = jax.lax.top_k(-pmc.T, L)  # [bs, L]
@@ -182,7 +194,48 @@ class PolarSCLDecoder:
                 u0 = jax.lax.dynamic_update_slice_in_dim(u0, seg, off, axis=0)
         if y is not None:  # PC shift register follows its surviving path
             y = jnp.take_along_axis(y, parent[None, :, :], axis=1)
-        return (lbuf, u0, new_pm, y), ubit
+        return (lbuf, u0, new_pm, y), ubit, parent
+
+    # ------------------------------------------------------------------
+    # rate-1 node (fast_rate1): theta sequential least-reliable-flip forks
+    # ------------------------------------------------------------------
+    def _rate1_node(self, state, a, s: int, lo: int):
+        """Decode the all-info node covering [lo, lo + 2^s) at its top.
+        ``a``: clipped stage-s LLRs [w, L, bs]. Returns (state,
+        c [w, L, bs] int8) — the node codeword for the surviving paths."""
+        lbuf, u0, pm, y = state
+        L = self.list_size
+        w, _, bs = a.shape
+        aab = jnp.abs(a)
+        pm = pm + jnp.sum(_softplus(-aab), axis=0)     # hard-decision base
+        hd = (a < 0).astype(jnp.int8)                  # 0-LLR tie -> bit 0
+        theta = min(L - 1, w)
+        # per-path ascending |LLR| (ties -> lower row index, matching the
+        # fused kernel's iterative-min extraction)
+        negv, rows = jax.lax.top_k(jnp.moveaxis(-aab, 0, -1), theta)
+        vals = -negv                                    # [L, bs, theta]
+        state = (lbuf, u0, pm, y)
+        qn = None            # node-local parent composition [L, bs]
+        fm = jnp.zeros((w, L, bs), dtype=jnp.int8)      # flips, current order
+        iota_w = jnp.arange(w, dtype=jnp.int32)[:, None, None]
+        for t in range(theta):
+            val_t = vals[:, :, t]
+            if qn is not None:
+                val_t = jnp.take_along_axis(val_t, qn, axis=0)
+            lbuf, u0, pm, y = state
+            pmc = jnp.concatenate([pm, pm + val_t], axis=0)
+            state, flip, parent = self._fork((lbuf, u0, pm, y), pmc,
+                                             last_leaf=lo + w - 1,
+                                             min_stage=s)
+            qn = (parent if qn is None
+                  else jnp.take_along_axis(qn, parent, axis=0))
+            fm = jnp.take_along_axis(fm, parent[None], axis=1)
+            row_t = jnp.take_along_axis(rows[:, :, t].astype(jnp.int32),
+                                        qn, axis=0)     # [L, bs]
+            fm = fm ^ jnp.where((iota_w == row_t[None]) & (flip[None] == 1),
+                                jnp.int8(1), jnp.int8(0))
+        c = hd if qn is None else jnp.take_along_axis(hd, qn[None], axis=1)
+        return state, c ^ fm
 
     # ------------------------------------------------------------------
     # trace-time recursion over the decode tree
@@ -220,11 +273,28 @@ class PolarSCLDecoder:
             pm0 = pm + jnp.sum(_softplus(-a), axis=0)
             pm1 = pm + jnp.sum(_softplus(a), axis=0)
             pmc = jnp.concatenate([pm0, pm1], axis=0)
-            state, ubit = self._fork((lbuf, u0, pm, y), pmc,
-                                     last_leaf=lo + width - 1, min_stage=s)
+            state, ubit, _ = self._fork((lbuf, u0, pm, y), pmc,
+                                        last_leaf=lo + width - 1,
+                                        min_stage=s)
             u = jnp.broadcast_to(ubit[None, :, :], (width, L, bs)).astype(
                 jnp.int8)
             return state, u
+
+        if (self.use_fast_scl and self.fast_rate1 and s >= 1
+                and not seg_frozen.any()):
+            # rate-1 subcode (Hashemi/Sarkis fast-SSCL): every codeword of
+            # the node is admissible, so decode at the node top — no leaf
+            # descent. Base PM pays the hard-decision penalty
+            # softplus(-|a_w|) per position; then theta = min(L-1, width)
+            # sequential forks each offer "flip the t-th least reliable
+            # position" (penalty |a|_(t), the exact softplus-PM difference)
+            # vs "keep". min(L-1, w) flips lose nothing relative to forking
+            # every position (Hashemi et al., Fast-SSCL Thm. 1). Numerics
+            # follow the node-top convention of the existing rate-0/rep
+            # shortcuts (reference my_sn/fec/polar/dec.py:264-307 ships
+            # only those; this extends the same PM contract).
+            a = clip(read_input(lbuf))            # [width, L, bs]
+            return self._rate1_node((lbuf, u0, pm, y), a, s, lo)
 
         if s == 0:
             llr0 = lbuf[0]  # [L, bs] — leaf input written by the parent
@@ -244,8 +314,8 @@ class PolarSCLDecoder:
             sp = _softplus(-clip(llr0))
             sn = _softplus(clip(llr0))
             pmc = jnp.concatenate([pm + sp, pm + sn], axis=0)
-            state, ubit = self._fork((lbuf, u0, pm, y), pmc, last_leaf=lo,
-                                     min_stage=0)
+            state, ubit, _ = self._fork((lbuf, u0, pm, y), pmc, last_leaf=lo,
+                                        min_stage=0)
             if y is not None:
                 lbuf, u0, pm, y = state
                 y = y.at[0].set(y[0] ^ ubit)
@@ -285,10 +355,14 @@ class PolarSCLDecoder:
         if self.schedule == "scan":
             from polar_tpu.models.polar.scan_core import (
                 scl_sweep_hybrid, scl_sweep_hybrid_fast)
-            sweep = (scl_sweep_hybrid_fast if self.use_fast_scl
-                     else scl_sweep_hybrid)
-            u_all, pm = sweep(llr_ch, self._frozen_mask, L,
-                              mode=self.mode, llr_max=self.llr_max)
+            if self.use_fast_scl:
+                u_all, pm = scl_sweep_hybrid_fast(
+                    llr_ch, self._frozen_mask, L, mode=self.mode,
+                    llr_max=self.llr_max, rate1=self.fast_rate1)
+            else:
+                u_all, pm = scl_sweep_hybrid(llr_ch, self._frozen_mask, L,
+                                             mode=self.mode,
+                                             llr_max=self.llr_max)
         else:
             lbuf = jnp.zeros((n - 1, L, bs), dtype=jnp.float32)
             u0 = jnp.zeros((n - 1, L, bs), dtype=jnp.int8)

@@ -42,8 +42,8 @@ class DecodeComplexity:
 
 
 def decode_complexity(n: int, k: int, list_size: int = 1,
-                      frozen_mask=None, fast: bool = False
-                      ) -> DecodeComplexity:
+                      frozen_mask=None, fast: bool = False,
+                      rate1: bool = False) -> DecodeComplexity:
     """Closed-form op counts of one SC/SCL decode.
 
     Plain schedule: each of the ``log2(n)`` stages processes ``n/2``
@@ -68,7 +68,7 @@ def decode_complexity(n: int, k: int, list_size: int = 1,
     assert frozen_mask is not None, "fast complexity needs the frozen mask"
     from polar_tpu.models.polar.scan_core import fast_schedule, _ctz, _cto
     f_ops = g_ops = xor_ops = pm_ops = sort_ops = 0
-    for kind, s_nd, lo in fast_schedule(frozen_mask):
+    for kind, s_nd, lo in fast_schedule(frozen_mask, rate1=rate1):
         d = S if lo == 0 else _ctz(lo)
         if lo != 0:
             g_ops += 1 << d
@@ -80,6 +80,15 @@ def decode_complexity(n: int, k: int, list_size: int = 1,
             pm_ops += 1 << s_nd
         elif kind == "f":
             pm_ops += 1
+        elif kind == "o":
+            # rate-1 node (fast_rate1): base softplus per element, theta
+            # iterative-min extraction sweeps + one-hot flip applies, and
+            # theta two-candidate forks
+            w = 1 << s_nd
+            theta = min(list_size - 1, w)
+            pm_ops += w + theta * w
+            xor_ops += theta * w
+            sort_ops += theta
         else:
             pm_ops += 2 * (1 << s_nd)       # both polarities
             sort_ops += 1

@@ -367,3 +367,136 @@ def test_fast_whole_tree_kernel_equals_unrolled():
     mask[frozen] = True
     _fast_vs_unrolled(mask, n, 8, 5, use_pallas=True, bs=64)
     _fast_vs_unrolled(mask, n, 8, 5, use_pallas=False, bs=64)
+
+
+# ----------------------------------------------------------------------
+# fast_rate1: rate-1 ('o') node shortcuts (Hashemi fast-SSCL, beyond the
+# reference's rate-0/rep set) — all fast engines must stay bit-identical
+# to the unrolled engine with fast_rate1=True
+# ----------------------------------------------------------------------
+
+def _rate1_vs_unrolled(mask, n, L, b, use_pallas, bs=16, mode="minsum",
+                       seed=0):
+    from polar_tpu.models.polar.scan_core import scl_sweep_hybrid_fast
+    frozen = np.where(mask)[0]
+    rng = np.random.default_rng(seed + n * 31 + L + b)
+    llr_logits = rng.normal(0, 3, size=(bs, n)).astype(np.float32)
+    ref = PolarSCLDecoder(frozen, n, list_size=L, mode=mode,
+                          schedule="unrolled", use_fast_scl=True,
+                          fast_rate1=True)
+    u_ref = np.asarray(ref(jnp.asarray(llr_logits)))
+    u_all, pm = scl_sweep_hybrid_fast(-jnp.asarray(llr_logits).T, mask, L,
+                                      mode=mode, lower_stages=b,
+                                      use_pallas=use_pallas, rate1=True)
+    sel = np.asarray(pm).argmin(axis=0)
+    info = np.setdiff1d(np.arange(n), frozen)
+    u_fast = np.asarray(u_all)[info][:, sel, np.arange(bs)].T
+    np.testing.assert_array_equal(u_ref.astype(np.int8),
+                                  u_fast.astype(np.int8))
+
+
+def test_rate1_schedule_rules():
+    """fast_schedule(rate1=True) emits 'o' for maximal all-info nodes and
+    leaves the rate-0/rep rules untouched; rate1=False is unchanged."""
+    from polar_tpu.models.polar.scan_core import fast_schedule
+    mask = np.array([1, 1, 1, 1, 1, 1, 1, 0,    # rep node at stage 3
+                     0, 0, 0, 0, 1, 0, 0, 0], dtype=bool)
+    ops = fast_schedule(mask, rate1=True)
+    assert ops[0] == ("r", 3, 0)
+    assert ("o", 2, 8) in ops                    # maximal all-info span
+    assert ("r", 1, 12) in ops
+    assert ("o", 1, 14) in ops
+    assert not any(k == "o" for k, _, _ in fast_schedule(mask))
+    # ops tile the leaf range exactly, in order
+    covered = [lo + q for k, s, lo in ops for q in range(1 << s)]
+    assert covered == list(range(16))
+
+
+@pytest.mark.parametrize("mode", ["minsum", "exact"])
+def test_rate1_hybrid_equals_unrolled(mode):
+    n, k = 256, 160  # high rate: rich mix of 'o' spans at b=3
+    frozen, _ = generate_5g_ranking(k, n)
+    mask = np.zeros(n, bool)
+    mask[frozen] = True
+    _rate1_vs_unrolled(mask, n, 8, 3, use_pallas=False, mode=mode)
+
+
+def test_rate1_upper_nodes_equal_unrolled():
+    """Rate-1 nodes spanning whole subtrees run at their TRUE stage in the
+    outer sweep (theta forks composing the live upper pointers) and emit
+    stage-b codeword chunks via the upper butterfly — the case where the
+    broadcast shortcut of the upper rep fork would be wrong."""
+    n = 64
+    mask = np.zeros(n, bool)
+    mask[:8] = True                  # 'o' at stages 3 (sub), 4 and 5 (upper)
+    _rate1_vs_unrolled(mask, n, 8, 3, use_pallas=False)
+    _rate1_vs_unrolled(mask, n, 8, 3, use_pallas=True, bs=128)
+    mask_all_info = np.zeros(n, bool)   # single whole-tree 'o'
+    _rate1_vs_unrolled(mask_all_info, n, 4, 3, use_pallas=False, bs=8)
+
+
+def test_rate1_pallas_subtree_equals_unrolled():
+    """'o' ops inside the fused kernel (interpret on CPU): in-kernel
+    iterative-min reliability extraction + theta flip forks."""
+    n = 64
+    frozen, _ = generate_5g_ranking(32, n)
+    mask = np.zeros(n, bool)
+    mask[frozen] = True
+    _rate1_vs_unrolled(mask, n, 8, 3, use_pallas=True, bs=128)
+
+
+def test_rate1_random_masks_equal_unrolled():
+    """Property sweep over random frozen sets (any mask, not just 5G)."""
+    n = 64
+    rng = np.random.default_rng(11)
+    for i in range(6):
+        mask = rng.random(n) < rng.uniform(0.15, 0.85)
+        if mask.all():
+            mask[int(rng.integers(n))] = False
+        _rate1_vs_unrolled(mask, n, 4, 3, use_pallas=False, bs=8, seed=i)
+
+
+@pytest.mark.skipif(
+    os.environ.get("POLAR_TPU_TEST_CPUSLOW") != "1"
+    and os.environ.get("POLAR_TPU_TEST_TPU") != "1",
+    reason="blocked-kernel interpret mode is minutes-slow on XLA-CPU "
+           "(POLAR_TPU_TEST_CPUSLOW=1 opts in); the compiled equivalent "
+           "runs in the TPU lane")
+def test_rate1_blocked_subtree_equals_unrolled():
+    n = 64
+    frozen, _ = generate_5g_ranking(32, n)
+    mask = np.zeros(n, bool)
+    mask[frozen] = True
+    _rate1_vs_unrolled(mask, n, 16, 3, use_pallas=True, bs=128)
+
+
+def test_rate1_decoder_wiring_and_bler_sanity():
+    """PolarSCLDecoder(fast_rate1=True) routes both schedules to the rate-1
+    contract, and its block-error rate stays within Monte-Carlo noise of
+    the established fast-SCL engine (the Hashemi flip set is lossless)."""
+    n, k, L = 64, 32, 8
+    frozen, _ = generate_5g_ranking(k, n)
+    rng = np.random.default_rng(123)
+    bs = 512
+    u = rng.integers(0, 2, size=(bs, k)).astype(np.float32)
+    from polar_tpu.models.polar.encode import PolarEncoder
+    enc = PolarEncoder(frozen, n)
+    x = np.asarray(enc(jnp.asarray(u)))
+    snr = 2.0
+    sigma2 = 1.0 / (2 * (k / n) * 10 ** (snr / 10))
+    llr_scale = 2.0 / sigma2
+    y = (1 - 2 * x) + rng.normal(0, np.sqrt(sigma2), size=x.shape)
+    llr_logits = (-llr_scale * y).astype(np.float32)
+    dec_fast = PolarSCLDecoder(frozen, n, list_size=L, schedule="scan",
+                               use_fast_scl=True)
+    dec_r1u = PolarSCLDecoder(frozen, n, list_size=L, schedule="unrolled",
+                              use_fast_scl=True, fast_rate1=True)
+    dec_r1s = PolarSCLDecoder(frozen, n, list_size=L, schedule="scan",
+                              use_fast_scl=True, fast_rate1=True)
+    u_r1u = np.asarray(dec_r1u(jnp.asarray(llr_logits)))
+    u_r1s = np.asarray(dec_r1s(jnp.asarray(llr_logits)))
+    np.testing.assert_array_equal(u_r1u, u_r1s)   # cross-engine identity
+    u_fast = np.asarray(dec_fast(jnp.asarray(llr_logits)))
+    bler_fast = float(np.mean((u_fast != u).any(axis=1)))
+    bler_r1 = float(np.mean((u_r1u != u).any(axis=1)))
+    assert abs(bler_r1 - bler_fast) < 0.05, (bler_r1, bler_fast)
