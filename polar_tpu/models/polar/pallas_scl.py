@@ -234,30 +234,32 @@ def _subtree_kernel(*refs, b, L, llr_max, mode, frz_static=None,
             pm = pm + jnp.sum(softplus(-aab), axis=0)
             hd = (a_c < 0).astype(jnp.int32)
             theta = min(L - 1, w_nd)
+            small = w_nd <= L - 1  # theta == w: ROW-order forks, no sort
             iota_w = lax.broadcasted_iota(jnp.int32, (w_nd, L, TB), 0)
-            # ascending per-path |LLR| extraction (ties -> lower row)
-            tmp = aab
-            svals, srows = [], []
-            for _t in range(theta):
-                v = jnp.min(tmp, axis=0)                    # [L, TB]
-                r_ = jnp.min(jnp.where(tmp == v[None], iota_w, w_nd),
-                             axis=0)
-                svals.append(v)
-                srows.append(r_)
-                tmp = jnp.where(iota_w == r_[None], _BIG, tmp)
+            if not small:
+                # ascending per-path |LLR| extraction (ties -> lower row)
+                tmp = aab
+                svals, srows = [], []
+                for _t in range(theta):
+                    v = jnp.min(tmp, axis=0)                # [L, TB]
+                    r_ = jnp.min(jnp.where(tmp == v[None], iota_w, w_nd),
+                                 axis=0)
+                    svals.append(v)
+                    srows.append(r_)
+                    tmp = jnp.where(iota_w == r_[None], _BIG, tmp)
             qn = None                  # node-local parent composition
-            recs = []                  # (row, flip) pairs, current order
+            flips = []                 # per-round flip bits, current order
             for t in range(theta):
-                val_t = (svals[t] if qn is None
-                         else _gather_rows(svals[t], qn))
+                val_t = aab[t] if small else svals[t]
+                if qn is not None:
+                    val_t = _gather_rows(val_t, qn)
                 pmc = jnp.concatenate([pm, pm + val_t], axis=0)
                 pm, sel = top_l(pmc)
                 parent = sel % L
                 flip = sel // L
                 qn = pgather(qn, parent)
-                recs = [(_gather_rows(r_, parent),
-                         _gather_rows(f_, parent)) for r_, f_ in recs]
-                recs.append((_gather_rows(srows[t], qn), flip))
+                flips = [_gather_rows(f_, parent) for f_ in flips]
+                flips.append(flip)
                 lptr = [pgather(p, parent) if _lptr_live(s, i_end)
                         else _STALE for s, p in enumerate(lptr)]
                 uptr = [pgather(p, parent)
@@ -269,9 +271,76 @@ def _subtree_kernel(*refs, b, L, llr_max, mode, frz_static=None,
             else:
                 c = jnp.stack([_gather_rows(hd[j], qn)
                                for j in range(w_nd)], axis=0)
-            for row_t, flip in recs:
+            # rows re-read through the FINAL composition (equivalent to
+            # permuting each record at every later fork, minus the work)
+            for t, flip in enumerate(flips):
+                if small:                    # static row (row-order path)
+                    c = c ^ jnp.where(iota_w == t, flip[None], 0)
+                else:
+                    row_t = _gather_rows(srows[t], qn)
+                    c = c ^ jnp.where(
+                        (iota_w == row_t[None]) & (flip[None] == 1), 1, 0)
+            ubit = c
+        elif kind == "s":
+            # SPC node (fast_rate1): parity-tracked flip forks (scl.py
+            # _spc_node semantics) — min(L, w) - 1 forks, each offering
+            # "flip the t-th least reliable position and toggle the least
+            # reliable one"
+            a_c = clip(cur)
+            aab = jnp.abs(a_c)
+            hd = (a_c < 0).astype(jnp.int32)
+            par = jnp.sum(hd, axis=0) & 1                   # [L, TB]
+            theta = min(L, w_nd)
+            iota_w = lax.broadcasted_iota(jnp.int32, (w_nd, L, TB), 0)
+            tmp = aab
+            svals, srows = [], []
+            for _t in range(theta):
+                v = jnp.min(tmp, axis=0)
+                r_ = jnp.min(jnp.where(tmp == v[None], iota_w, w_nd),
+                             axis=0)
+                svals.append(v)
+                srows.append(r_)
+                tmp = jnp.where(iota_w == r_[None], _BIG, tmp)
+            v0 = svals[0]
+            pm = pm + jnp.sum(softplus(-aab), axis=0) \
+                + par.astype(jnp.float32) * v0
+            e = par
+            qn = None
+            flips = []
+            for t in range(1, theta):
+                val_t, v0c = svals[t], v0
+                if qn is not None:
+                    val_t = _gather_rows(val_t, qn)
+                    v0c = _gather_rows(v0, qn)
+                pen = val_t + (1.0 - 2.0 * e.astype(jnp.float32)) * v0c
+                pmc = jnp.concatenate([pm, pm + pen], axis=0)
+                pm, sel = top_l(pmc)
+                parent = sel % L
+                flip = sel // L
+                qn = pgather(qn, parent)
+                e = _gather_rows(e, parent) ^ flip
+                flips = [_gather_rows(f_, parent) for f_ in flips]
+                flips.append(flip)
+                lptr = [pgather(p, parent) if _lptr_live(s, i_end)
+                        else _STALE for s, p in enumerate(lptr)]
+                uptr = [pgather(p, parent)
+                        if _uptr_live(s, i_end, s_nd) else _STALE
+                        for s, p in enumerate(uptr)]
+                P = pgather(P, parent)
+            if qn is None:
+                c = hd
+            else:
+                c = jnp.stack([_gather_rows(hd[j], qn)
+                               for j in range(w_nd)], axis=0)
+            for t, flip in enumerate(flips):
+                row_t = _gather_rows(srows[t + 1], qn) if qn is not None \
+                    else srows[t + 1]
                 c = c ^ jnp.where(
                     (iota_w == row_t[None]) & (flip[None] == 1), 1, 0)
+            row_0 = _gather_rows(srows[0], qn) if qn is not None \
+                else srows[0]
+            c = c ^ jnp.where((iota_w == row_0[None]) & (e[None] == 1),
+                              1, 0)
             ubit = c
         else:
             if kind == "r":
@@ -547,6 +616,62 @@ def _subtree_kernel_blocked(*refs, b, L, llr_max, mode, frz_static=None,
                   for h in range(nb)]
             hd = [(x < 0).astype(jnp.int32) for x in a_c]
             theta = min(L - 1, w_nd)
+            small = w_nd <= L - 1  # theta == w: ROW-order forks, no sort
+            iota_w3 = lax.broadcasted_iota(jnp.int32, (w_nd, 8, TB), 0)
+            if not small:
+                tmp = list(aab)
+                svals, srows = [], []
+                for _t in range(theta):
+                    v = [jnp.min(tmp[h], axis=0) for h in range(nb)]
+                    r_ = [jnp.min(jnp.where(tmp[h] == v[h][None], iota_w3,
+                                            w_nd), axis=0)
+                          for h in range(nb)]
+                    svals.append(v)
+                    srows.append(r_)
+                    tmp = [jnp.where(iota_w3 == r_[h][None], _BIG, tmp[h])
+                           for h in range(nb)]
+            qn = None
+            flips = []
+            for t in range(theta):
+                val_t = ([aab[h][t] for h in range(nb)] if small
+                         else svals[t])
+                if qn is not None:
+                    val_t = _bgather(val_t, qn)
+                cand = (list(pm)
+                        + [pm[h] + val_t[h] for h in range(nb)])
+                pm, sel = top_l(cand)
+                parent = [sel[h] % L for h in range(nb)]
+                flip = [sel[h] // L for h in range(nb)]
+                qn = bpgather(qn, parent)
+                flips = [_bgather(f_, parent) for f_ in flips]
+                flips.append(flip)
+                lptr = [bpgather(p, parent) if _lptr_live(s, i_end)
+                        else _STALE for s, p in enumerate(lptr)]
+                uptr = [bpgather(p, parent)
+                        if _uptr_live(s, i_end, s_nd) else _STALE
+                        for s, p in enumerate(uptr)]
+                P = bpgather(P, parent)
+            c = hd if qn is None else gathered_slab(hd, qn)
+            # rows re-read through the FINAL composition (see the flat
+            # kernel's 'o' op)
+            for t, flip in enumerate(flips):
+                if small:                    # static row (row-order path)
+                    c = [c[h] ^ jnp.where(iota_w3 == t, flip[h][None],
+                                          0) for h in range(nb)]
+                else:
+                    row_t = _bgather(srows[t], qn)
+                    c = [c[h] ^ jnp.where((iota_w3 == row_t[h][None])
+                                          & (flip[h][None] == 1), 1, 0)
+                         for h in range(nb)]
+            ubit = c
+        elif kind == "s":
+            # SPC node (fast_rate1), blocked form of the flat kernel's
+            # 's' op
+            a_c = [clip(cur[h]) for h in range(nb)]
+            aab = [jnp.abs(x) for x in a_c]
+            hd = [(x < 0).astype(jnp.int32) for x in a_c]
+            par = [jnp.sum(hd[h], axis=0) & 1 for h in range(nb)]
+            theta = min(L, w_nd)
             iota_w3 = lax.broadcasted_iota(jnp.int32, (w_nd, 8, TB), 0)
             tmp = list(aab)
             svals, srows = [], []
@@ -558,20 +683,28 @@ def _subtree_kernel_blocked(*refs, b, L, llr_max, mode, frz_static=None,
                 srows.append(r_)
                 tmp = [jnp.where(iota_w3 == r_[h][None], _BIG, tmp[h])
                        for h in range(nb)]
+            v0 = svals[0]
+            pm = [pm[h] + jnp.sum(softplus(-aab[h]), axis=0)
+                  + par[h].astype(jnp.float32) * v0[h] for h in range(nb)]
+            e = par
             qn = None
-            recs = []
-            for t in range(theta):
-                val_t = (svals[t] if qn is None
-                         else _bgather(svals[t], qn))
-                cand = (list(pm)
-                        + [pm[h] + val_t[h] for h in range(nb)])
+            flips = []
+            for t in range(1, theta):
+                val_t, v0c = svals[t], v0
+                if qn is not None:
+                    val_t = _bgather(val_t, qn)
+                    v0c = _bgather(v0, qn)
+                pen = [val_t[h]
+                       + (1.0 - 2.0 * e[h].astype(jnp.float32)) * v0c[h]
+                       for h in range(nb)]
+                cand = list(pm) + [pm[h] + pen[h] for h in range(nb)]
                 pm, sel = top_l(cand)
                 parent = [sel[h] % L for h in range(nb)]
                 flip = [sel[h] // L for h in range(nb)]
                 qn = bpgather(qn, parent)
-                recs = [(_bgather(r_, parent), _bgather(f_, parent))
-                        for r_, f_ in recs]
-                recs.append((_bgather(srows[t], qn), flip))
+                e = [g ^ f for g, f in zip(_bgather(e, parent), flip)]
+                flips = [_bgather(f_, parent) for f_ in flips]
+                flips.append(flip)
                 lptr = [bpgather(p, parent) if _lptr_live(s, i_end)
                         else _STALE for s, p in enumerate(lptr)]
                 uptr = [bpgather(p, parent)
@@ -579,10 +712,16 @@ def _subtree_kernel_blocked(*refs, b, L, llr_max, mode, frz_static=None,
                         for s, p in enumerate(uptr)]
                 P = bpgather(P, parent)
             c = hd if qn is None else gathered_slab(hd, qn)
-            for row_t, flip in recs:
+            for t, flip in enumerate(flips):
+                row_t = (_bgather(srows[t + 1], qn) if qn is not None
+                         else srows[t + 1])
                 c = [c[h] ^ jnp.where((iota_w3 == row_t[h][None])
                                       & (flip[h][None] == 1), 1, 0)
                      for h in range(nb)]
+            row_0 = _bgather(srows[0], qn) if qn is not None else srows[0]
+            c = [c[h] ^ jnp.where((iota_w3 == row_0[h][None])
+                                  & (e[h][None] == 1), 1, 0)
+                 for h in range(nb)]
             ubit = c
         else:
             if kind == "r":
@@ -888,7 +1027,7 @@ def subtree_pallas(a, frz, pm, *, b, L, llr_max, mode, interpret=False,
     cond_on = bool(cond_leaves) and not static and L <= 8
     vlim = _vmem_limit_override()
     o_span = max((1 << s for kind, s, _ in (sched_static or ())
-                  if kind == "o"), default=0)
+                  if kind in ("o", "s")), default=0)
     TB = tile if tile is not None else fit_tile(
         bs, lambda t: scl_vmem_bytes(b, L, t, cond=cond_on, o_span=o_span),
         vmem_limit=vlim)

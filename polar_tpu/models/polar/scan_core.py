@@ -93,7 +93,30 @@ def leaf_schedule(n: int):
     return S, desc, rise
 
 
-def fast_schedule(frozen_mask, rep: bool = True, rate1: bool = False):
+# SPC ('s') node formation threshold. Measured on the v5e headline
+# (k=512, n=1024, L=8, b=9, bs=8192): enabling SPC at stage >= 4 REGRESSES
+# the chain 405.8M -> 340-344M bit/s — the node-top machinery (theta
+# reliability-extraction sweeps + theta one-hot flip applies) scales
+# theta*w vector-ops, while the r/o decomposition it replaces halves w
+# per level (geometric sum), so on a vector kernel the decomposition wins
+# even though SPC saves forks (233 vs 310). The scalar-hardware fast-SSCL
+# literature assumes fork cost dominates; here top-L over 2L lanes is
+# cheap. SPC therefore ships OFF (stage threshold 99) and stays available
+# for experimentation via POLAR_TPU_SPC_MIN_STAGE (tests pin 4).
+SPC_MIN_STAGE_OFF = 99
+
+
+def resolve_spc_min_stage(value=None) -> int:
+    """SPC formation threshold: explicit value, else the
+    POLAR_TPU_SPC_MIN_STAGE env, else disabled."""
+    if value is not None:
+        return int(value)
+    return int(os.environ.get("POLAR_TPU_SPC_MIN_STAGE",
+                              str(SPC_MIN_STAGE_OFF)))
+
+
+def fast_schedule(frozen_mask, rep: bool = True, rate1: bool = False,
+                  spc_min_stage=None):
     """Fast-SCL pruned node schedule (Hashemi rate-0 / repetition), exactly
     mirroring the unrolled engine's recursion (scl.py _node: a node at
     stage >= 1 prunes if its whole span is frozen — Eq. 26 bulk PM update —
@@ -110,14 +133,20 @@ def fast_schedule(frozen_mask, rep: bool = True, rate1: bool = False):
     partial sums are all-zero regardless of its LLRs, so the pruned sweep
     is bit-identical to the plain one (repetition shortcuts would not be).
 
-    ``rate1=True`` additionally prunes all-info nodes (Hashemi fast-SSCL:
+    ``rate1=True`` additionally prunes all-info nodes — ``('o', s, lo)``,
     theta = min(L-1, 2^s) least-reliable-flip forks at the node top, no
-    leaf descent) — the opt-in ``fast_rate1`` engine contract, beyond the
-    reference's rate-0/rep set.
+    leaf descent — and single-parity-check nodes (only the FIRST leaf
+    frozen) of span >= 2^SPC_MIN_STAGE — ``('s', s, lo)``, min(L, 2^s)-1
+    parity-tracked flip forks. Below the span threshold the r/o
+    decomposition costs the same number of forks without SPC's sort and
+    parity machinery, so small SPC nodes stay decomposed. Together these
+    are the opt-in ``fast_rate1`` engine contract (Hashemi fast-SSCL/SPC),
+    beyond the reference's rate-0/rep set.
     """
     mask = np.asarray(frozen_mask, dtype=bool)
     n = len(mask)
     ops = []
+    spc_min = resolve_spc_min_stage(spc_min_stage)
 
     def rec(s, lo):
         w = 1 << s
@@ -128,6 +157,9 @@ def fast_schedule(frozen_mask, rep: bool = True, rate1: bool = False):
             ops.append(("r", s, lo))
         elif rate1 and s >= 1 and not seg.any():
             ops.append(("o", s, lo))
+        elif (rate1 and s >= spc_min and seg[0]
+                and not seg[1:].any()):
+            ops.append(("s", s, lo))
         elif s == 0:
             ops.append(("f" if seg[0] else "i", 0, lo))
         else:
@@ -1149,19 +1181,23 @@ def scl_sweep_hybrid_fast(llr_ch, frozen_mask, list_size: int,
                 ubit = jnp.zeros((w_nd, L, bs), jnp.int8)
             elif kind == "o":
                 # rate-1 node: hard-decision base PM + theta sequential
-                # least-reliable-flip forks (scl.py _rate1_node semantics)
+                # least-reliable-flip forks (scl.py _rate1_node semantics;
+                # theta == w -> ROW-order forks, no reliability sort)
                 a_c = clip(cur)
                 aab = jnp.abs(a_c)
                 pm = pm + jnp.sum(_softplus(-aab), axis=0)
                 hd = (a_c < 0).astype(jnp.int8)
                 theta = min(L - 1, w_nd)
-                negv, rows = lax.top_k(jnp.moveaxis(-aab, 0, -1), theta)
-                vals = -negv                          # [L, bs, theta]
+                small = w_nd <= L - 1
+                if not small:
+                    negv, rows = lax.top_k(jnp.moveaxis(-aab, 0, -1),
+                                           theta)
+                    vals = -negv                      # [L, bs, theta]
                 qn = None
                 fm = jnp.zeros((w_nd, L, bs), jnp.int8)
                 iota_w = jnp.arange(w_nd, dtype=jnp.int32)[:, None, None]
                 for t in range(theta):
-                    val_t = vals[:, :, t]
+                    val_t = aab[t] if small else vals[:, :, t]
                     if qn is not None:
                         val_t = jnp.take_along_axis(val_t, qn, axis=0)
                     pmc = jnp.concatenate([pm, pm + val_t], axis=0)
@@ -1177,11 +1213,67 @@ def scl_sweep_hybrid_fast(llr_ch, frozen_mask, list_size: int,
                     qn = (parent if qn is None
                           else jnp.take_along_axis(qn, parent, axis=0))
                     fm = jnp.take_along_axis(fm, p3, axis=1)
+                    if small:
+                        fm = fm ^ jnp.where(iota_w == t, flip[None],
+                                            jnp.int8(0))
+                    else:
+                        row_t = jnp.take_along_axis(
+                            rows[:, :, t].astype(jnp.int32), qn, axis=0)
+                        fm = fm ^ jnp.where(
+                            (iota_w == row_t[None]) & (flip[None] == 1),
+                            jnp.int8(1), jnp.int8(0))
+                c = (hd if qn is None
+                     else jnp.take_along_axis(hd, qn[None], axis=1))
+                ubit = c ^ fm
+            elif kind == "s":
+                # SPC node: parity-tracked flip forks (scl.py _spc_node)
+                a_c = clip(cur)
+                aab = jnp.abs(a_c)
+                hd = (a_c < 0).astype(jnp.int8)
+                par = jnp.bitwise_and(
+                    jnp.sum(hd.astype(jnp.int32), axis=0), 1)
+                theta = min(L, w_nd)
+                negv, rows = lax.top_k(jnp.moveaxis(-aab, 0, -1), theta)
+                vals = -negv
+                v0 = vals[:, :, 0]
+                pm = pm + jnp.sum(_softplus(-aab), axis=0) \
+                    + par.astype(jnp.float32) * v0
+                e = par.astype(jnp.int8)
+                qn = None
+                fm = jnp.zeros((w_nd, L, bs), jnp.int8)
+                iota_w = jnp.arange(w_nd, dtype=jnp.int32)[:, None, None]
+                for t in range(1, theta):
+                    val_t = vals[:, :, t]
+                    v0c = v0
+                    if qn is not None:
+                        val_t = jnp.take_along_axis(val_t, qn, axis=0)
+                        v0c = jnp.take_along_axis(v0, qn, axis=0)
+                    pen = val_t + (1.0 - 2.0 * e.astype(jnp.float32)) * v0c
+                    pmc = jnp.concatenate([pm, pm + pen], axis=0)
+                    neg_vals, idxk = lax.top_k(-pmc.T, L)
+                    pm = (-neg_vals).T
+                    parent = (idxk % L).T.astype(jnp.int32)
+                    flip = (idxk // L).T.astype(jnp.int8)
+                    p3 = parent[None]
+                    lloc = jnp.take_along_axis(lloc, p3, axis=1)
+                    uloc = jnp.take_along_axis(uloc, p3, axis=1)
+                    P = parent if P is None \
+                        else jnp.take_along_axis(P, parent, axis=0)
+                    qn = (parent if qn is None
+                          else jnp.take_along_axis(qn, parent, axis=0))
+                    fm = jnp.take_along_axis(fm, p3, axis=1)
+                    e = jnp.take_along_axis(e, parent, axis=0) ^ flip
                     row_t = jnp.take_along_axis(
                         rows[:, :, t].astype(jnp.int32), qn, axis=0)
                     fm = fm ^ jnp.where(
                         (iota_w == row_t[None]) & (flip[None] == 1),
                         jnp.int8(1), jnp.int8(0))
+                row_0 = rows[:, :, 0].astype(jnp.int32)
+                if qn is not None:
+                    row_0 = jnp.take_along_axis(row_0, qn, axis=0)
+                fm = fm ^ jnp.where(
+                    (iota_w == row_0[None]) & (e[None] == 1),
+                    jnp.int8(1), jnp.int8(0))
                 c = (hd if qn is None
                      else jnp.take_along_axis(hd, qn[None], axis=1))
                 ubit = c ^ fm
@@ -1255,13 +1347,16 @@ def scl_sweep_hybrid_fast(llr_ch, frozen_mask, list_size: int,
                 pm = pm + jnp.sum(_softplus(-aab), axis=0)
                 hd = (a_c < 0).astype(jnp.int8)
                 theta = min(L - 1, w_nd)
-                negv, rows = lax.top_k(jnp.moveaxis(-aab, 0, -1), theta)
-                vals = -negv
+                small = w_nd <= L - 1
+                if not small:
+                    negv, rows = lax.top_k(jnp.moveaxis(-aab, 0, -1),
+                                           theta)
+                    vals = -negv
                 qn = None
                 fm = jnp.zeros((w_nd, L, bs), jnp.int8)
                 iota_w = jnp.arange(w_nd, dtype=jnp.int32)[:, None, None]
                 for t in range(theta):
-                    val_t = vals[:, :, t]
+                    val_t = aab[t] if small else vals[:, :, t]
                     if qn is not None:
                         val_t = jnp.take_along_axis(val_t, qn, axis=0)
                     pmc = jnp.concatenate([pm, pm + val_t], axis=0)
@@ -1273,11 +1368,15 @@ def scl_sweep_hybrid_fast(llr_ch, frozen_mask, list_size: int,
                     qn = (parent if qn is None
                           else jnp.take_along_axis(qn, parent, axis=0))
                     fm = jnp.take_along_axis(fm, parent[None], axis=1)
-                    row_t = jnp.take_along_axis(
-                        rows[:, :, t].astype(jnp.int32), qn, axis=0)
-                    fm = fm ^ jnp.where(
-                        (iota_w == row_t[None]) & (flip[None] == 1),
-                        jnp.int8(1), jnp.int8(0))
+                    if small:
+                        fm = fm ^ jnp.where(iota_w == t, flip[None],
+                                            jnp.int8(0))
+                    else:
+                        row_t = jnp.take_along_axis(
+                            rows[:, :, t].astype(jnp.int32), qn, axis=0)
+                        fm = fm ^ jnp.where(
+                            (iota_w == row_t[None]) & (flip[None] == 1),
+                            jnp.int8(1), jnp.int8(0))
                 c = (hd if qn is None
                      else jnp.take_along_axis(hd, qn[None], axis=1)) ^ fm
                 node_sums = c
@@ -1287,11 +1386,67 @@ def scl_sweep_hybrid_fast(llr_ch, frozen_mask, list_size: int,
                 # apply the butterfly along the covered-chunk axis. (The
                 # upper rep node skips this because its only info leaf is
                 # the node's last — broadcast agrees there.)
-                e = polar_transform(c.reshape(q, w_sub, L, bs), axis=0)
+                em = polar_transform(c.reshape(q, w_sub, L, bs), axis=0)
                 for jj in range(j0, j_end + 1):
-                    cws_l[jj] = e[jj - j0]
+                    cws_l[jj] = em[jj - j0]
                     # the node's composed parent map rides the FIRST
                     # covered subtree (same rule as the upper rep fork)
+                    ps_l[jj] = qn if jj == j0 else None
+            elif kind == "s":
+                # SPC spanning q subtrees, at its true stage (scl.py
+                # _spc_node semantics; upper-pointer composition and
+                # chunk emission as for the upper rate-1 node)
+                w_nd = 1 << s_real
+                a_c = clip(cur)
+                aab = jnp.abs(a_c)
+                hd = (a_c < 0).astype(jnp.int8)
+                par = jnp.bitwise_and(
+                    jnp.sum(hd.astype(jnp.int32), axis=0), 1)
+                theta = min(L, w_nd)
+                negv, rows = lax.top_k(jnp.moveaxis(-aab, 0, -1), theta)
+                vals = -negv
+                v0 = vals[:, :, 0]
+                pm = pm + jnp.sum(_softplus(-aab), axis=0) \
+                    + par.astype(jnp.float32) * v0
+                ee = par.astype(jnp.int8)
+                qn = None
+                fm = jnp.zeros((w_nd, L, bs), jnp.int8)
+                iota_w = jnp.arange(w_nd, dtype=jnp.int32)[:, None, None]
+                for t in range(1, theta):
+                    val_t = vals[:, :, t]
+                    v0c = v0
+                    if qn is not None:
+                        val_t = jnp.take_along_axis(val_t, qn, axis=0)
+                        v0c = jnp.take_along_axis(v0, qn, axis=0)
+                    pen = val_t \
+                        + (1.0 - 2.0 * ee.astype(jnp.float32)) * v0c
+                    pmc = jnp.concatenate([pm, pm + pen], axis=0)
+                    neg_vals, idxk = lax.top_k(-pmc.T, L)
+                    pm = (-neg_vals).T
+                    parent = (idxk % L).T.astype(jnp.int32)
+                    flip = (idxk // L).T.astype(jnp.int8)
+                    compose_live(parent, j_end, sg_nd)
+                    qn = (parent if qn is None
+                          else jnp.take_along_axis(qn, parent, axis=0))
+                    fm = jnp.take_along_axis(fm, parent[None], axis=1)
+                    ee = jnp.take_along_axis(ee, parent, axis=0) ^ flip
+                    row_t = jnp.take_along_axis(
+                        rows[:, :, t].astype(jnp.int32), qn, axis=0)
+                    fm = fm ^ jnp.where(
+                        (iota_w == row_t[None]) & (flip[None] == 1),
+                        jnp.int8(1), jnp.int8(0))
+                row_0 = rows[:, :, 0].astype(jnp.int32)
+                if qn is not None:
+                    row_0 = jnp.take_along_axis(row_0, qn, axis=0)
+                fm = fm ^ jnp.where(
+                    (iota_w == row_0[None]) & (ee[None] == 1),
+                    jnp.int8(1), jnp.int8(0))
+                c = (hd if qn is None
+                     else jnp.take_along_axis(hd, qn[None], axis=1)) ^ fm
+                node_sums = c
+                em = polar_transform(c.reshape(q, w_sub, L, bs), axis=0)
+                for jj in range(j0, j_end + 1):
+                    cws_l[jj] = em[jj - j0]
                     ps_l[jj] = qn if jj == j0 else None
             else:
                 # repetition spanning q subtrees: one fork (Eq. 31)

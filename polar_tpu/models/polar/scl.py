@@ -40,6 +40,7 @@ from polar_tpu.ops.fg import F_FUNCTIONS, g as g_op
 from polar_tpu.ops.butterfly import polar_transform
 from polar_tpu.ops.crc import CRCEncoder, CRCDecoder, crc_polynomial
 from polar_tpu.models.polar.construction import info_positions
+from polar_tpu.models.polar.scan_core import resolve_spc_min_stage
 
 
 def _softplus(x):
@@ -159,6 +160,11 @@ class PolarSCLDecoder:
             fast_rate1 = os.environ.get("POLAR_TPU_FAST_RATE1", "0") == "1"
         self.fast_rate1 = bool(fast_rate1) and self.use_fast_scl \
             and self.pc_pos is None
+        # SPC node formation threshold (shipped OFF — see scan_core's
+        # SPC_MIN_STAGE_OFF note: node-top machinery loses to the r/o
+        # decomposition on the vector kernels); resolved once so the
+        # unrolled recursion and the sweep build the same schedule
+        self._spc_min = resolve_spc_min_stage()
 
         self._jit_decode = jax.jit(self._decode_2d)
 
@@ -210,16 +216,21 @@ class PolarSCLDecoder:
         pm = pm + jnp.sum(_softplus(-aab), axis=0)     # hard-decision base
         hd = (a < 0).astype(jnp.int8)                  # 0-LLR tie -> bit 0
         theta = min(L - 1, w)
-        # per-path ascending |LLR| (ties -> lower row index, matching the
-        # fused kernel's iterative-min extraction)
-        negv, rows = jax.lax.top_k(jnp.moveaxis(-aab, 0, -1), theta)
-        vals = -negv                                    # [L, bs, theta]
+        small = w <= L - 1   # theta == w: every position forks, so the
+        # enumeration ORDER is free (sequential fork+prune with a zero-cost
+        # "keep" option is exact best-L for any order) — fork in ROW order
+        # and skip the reliability sort entirely
+        if not small:
+            # per-path ascending |LLR| (ties -> lower row index, matching
+            # the fused kernel's iterative-min extraction)
+            negv, rows = jax.lax.top_k(jnp.moveaxis(-aab, 0, -1), theta)
+            vals = -negv                                # [L, bs, theta]
         state = (lbuf, u0, pm, y)
         qn = None            # node-local parent composition [L, bs]
         fm = jnp.zeros((w, L, bs), dtype=jnp.int8)      # flips, current order
         iota_w = jnp.arange(w, dtype=jnp.int32)[:, None, None]
         for t in range(theta):
-            val_t = vals[:, :, t]
+            val_t = aab[t] if small else vals[:, :, t]
             if qn is not None:
                 val_t = jnp.take_along_axis(val_t, qn, axis=0)
             lbuf, u0, pm, y = state
@@ -230,10 +241,73 @@ class PolarSCLDecoder:
             qn = (parent if qn is None
                   else jnp.take_along_axis(qn, parent, axis=0))
             fm = jnp.take_along_axis(fm, parent[None], axis=1)
+            if small:
+                fm = fm ^ jnp.where(iota_w == t, flip[None],
+                                    jnp.int8(0))
+            else:
+                row_t = jnp.take_along_axis(
+                    rows[:, :, t].astype(jnp.int32), qn, axis=0)  # [L, bs]
+                fm = fm ^ jnp.where(
+                    (iota_w == row_t[None]) & (flip[None] == 1),
+                    jnp.int8(1), jnp.int8(0))
+        c = hd if qn is None else jnp.take_along_axis(hd, qn[None], axis=1)
+        return state, c ^ fm
+
+    # ------------------------------------------------------------------
+    # SPC node (fast_rate1): parity-tracked least-reliable-flip forks
+    # ------------------------------------------------------------------
+    def _spc_node(self, state, a, s: int, lo: int):
+        """Decode the single-parity-check node (first leaf frozen, rest
+        info) covering [lo, lo + 2^s) at its top: codewords are the
+        even-parity words. Base PM pays the hard decision plus — when its
+        parity is odd — the forced flip of the least reliable position;
+        then min(L, w) - 1 sequential forks each offer "flip the t-th
+        least reliable position and toggle the least reliable one"
+        (penalty |a|_(t) + (1-2e)|a|_(0) with e the per-path toggle
+        state) — Hashemi Fast-SSCL-SPC, exact. Returns (state,
+        c [w, L, bs] int8)."""
+        lbuf, u0, pm, y = state
+        L = self.list_size
+        w, _, bs = a.shape
+        aab = jnp.abs(a)
+        hd = (a < 0).astype(jnp.int8)                  # 0-LLR tie -> bit 0
+        par = jnp.bitwise_and(jnp.sum(hd.astype(jnp.int32), axis=0), 1)
+        theta = min(L, w)
+        negv, rows = jax.lax.top_k(jnp.moveaxis(-aab, 0, -1), theta)
+        vals = -negv                                    # [L, bs, theta]
+        v0 = vals[:, :, 0]
+        pm = pm + jnp.sum(_softplus(-aab), axis=0) \
+            + par.astype(jnp.float32) * v0
+        e = par.astype(jnp.int8)       # toggle state of position (0)
+        state = (lbuf, u0, pm, y)
+        qn = None
+        fm = jnp.zeros((w, L, bs), dtype=jnp.int8)
+        iota_w = jnp.arange(w, dtype=jnp.int32)[:, None, None]
+        for t in range(1, theta):
+            val_t = vals[:, :, t]
+            v0c = v0
+            if qn is not None:
+                val_t = jnp.take_along_axis(val_t, qn, axis=0)
+                v0c = jnp.take_along_axis(v0, qn, axis=0)
+            pen = val_t + (1.0 - 2.0 * e.astype(jnp.float32)) * v0c
+            lbuf, u0, pm, y = state
+            pmc = jnp.concatenate([pm, pm + pen], axis=0)
+            state, flip, parent = self._fork((lbuf, u0, pm, y), pmc,
+                                             last_leaf=lo + w - 1,
+                                             min_stage=s)
+            qn = (parent if qn is None
+                  else jnp.take_along_axis(qn, parent, axis=0))
+            fm = jnp.take_along_axis(fm, parent[None], axis=1)
+            e = jnp.take_along_axis(e, parent, axis=0) ^ flip
             row_t = jnp.take_along_axis(rows[:, :, t].astype(jnp.int32),
-                                        qn, axis=0)     # [L, bs]
+                                        qn, axis=0)
             fm = fm ^ jnp.where((iota_w == row_t[None]) & (flip[None] == 1),
                                 jnp.int8(1), jnp.int8(0))
+        row_0 = rows[:, :, 0].astype(jnp.int32)
+        if qn is not None:
+            row_0 = jnp.take_along_axis(row_0, qn, axis=0)
+        fm = fm ^ jnp.where((iota_w == row_0[None]) & (e[None] == 1),
+                            jnp.int8(1), jnp.int8(0))
         c = hd if qn is None else jnp.take_along_axis(hd, qn[None], axis=1)
         return state, c ^ fm
 
@@ -295,6 +369,13 @@ class PolarSCLDecoder:
             # only those; this extends the same PM contract).
             a = clip(read_input(lbuf))            # [width, L, bs]
             return self._rate1_node((lbuf, u0, pm, y), a, s, lo)
+
+        if (self.use_fast_scl and self.fast_rate1 and s >= self._spc_min
+                and seg_frozen[0] and not seg_frozen[1:].any()):
+            # single-parity-check subcode (Hashemi fast-SSCL-SPC): decode
+            # at the node top over the even-parity codeword set.
+            a = clip(read_input(lbuf))
+            return self._spc_node((lbuf, u0, pm, y), a, s, lo)
 
         if s == 0:
             llr0 = lbuf[0]  # [L, bs] — leaf input written by the parent

@@ -80,15 +80,19 @@ def decode_complexity(n: int, k: int, list_size: int = 1,
             pm_ops += 1 << s_nd
         elif kind == "f":
             pm_ops += 1
-        elif kind == "o":
-            # rate-1 node (fast_rate1): base softplus per element, theta
-            # iterative-min extraction sweeps + one-hot flip applies, and
-            # theta two-candidate forks
+        elif kind in ("o", "s"):
+            # rate-1 / SPC node (fast_rate1): base softplus per element,
+            # theta iterative-min extraction sweeps + one-hot flip
+            # applies, and theta (minus one for SPC's parity-forced
+            # position) two-candidate forks
             w = 1 << s_nd
-            theta = min(list_size - 1, w)
-            pm_ops += w + theta * w
-            xor_ops += theta * w
-            sort_ops += theta
+            theta = (min(list_size - 1, w) if kind == "o"
+                     else min(list_size, w))
+            forks = theta if kind == "o" else theta - 1
+            srt = theta if (kind == "s" or w > list_size - 1) else 0
+            pm_ops += w + srt * w
+            xor_ops += (forks + (1 if kind == "s" else 0)) * w
+            sort_ops += forks
         else:
             pm_ops += 2 * (1 << s_nd)       # both polarities
             sort_ops += 1

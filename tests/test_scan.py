@@ -500,3 +500,89 @@ def test_rate1_decoder_wiring_and_bler_sanity():
     bler_fast = float(np.mean((u_fast != u).any(axis=1)))
     bler_r1 = float(np.mean((u_r1u != u).any(axis=1)))
     assert abs(bler_r1 - bler_fast) < 0.05, (bler_r1, bler_fast)
+
+
+# ----------------------------------------------------------------------
+# fast_rate1 SPC ('s') node shortcuts (Hashemi fast-SSCL-SPC)
+# ----------------------------------------------------------------------
+
+def test_spc_schedule_rules():
+    """'s' ops form only for [frozen, info...] spans of width >= the SPC
+    threshold (shipped OFF — measured slower than the r/o decomposition
+    on the vector kernels; POLAR_TPU_SPC_MIN_STAGE enables)."""
+    from polar_tpu.models.polar.scan_core import fast_schedule
+    n = 64
+    mask = np.zeros(n, bool)
+    mask[:16] = True
+    mask[16] = True
+    ops = fast_schedule(mask, rate1=True, spc_min_stage=4)
+    assert ops == [("z", 4, 0), ("s", 4, 16), ("o", 5, 32)]
+    # default threshold: SPC off, the span decomposes
+    assert not any(k == "s" for k, _, _ in fast_schedule(mask, rate1=True))
+    # span-8 SPC pattern stays decomposed (r + o children)
+    mask8 = np.zeros(16, bool)
+    mask8[8] = True
+    ops8 = fast_schedule(mask8, rate1=True, spc_min_stage=4)
+    assert not any(k == "s" for k, _, _ in ops8)
+    assert ("r", 1, 8) in ops8 and ("o", 1, 10) in ops8
+
+
+def test_spc_nodes_equal_unrolled(monkeypatch):
+    """SPC at every placement: whole-tree root (upper), spanning two
+    subtrees (upper), at the kernel boundary, and inside a subtree —
+    all bit-identical to the unrolled engine."""
+    monkeypatch.setenv("POLAR_TPU_SPC_MIN_STAGE", "4")
+    n = 64
+    maskA = np.zeros(n, bool)
+    maskA[0] = True                      # 's' at the root stage
+    _rate1_vs_unrolled(maskA, n, 8, 3, use_pallas=False)
+    maskB = np.zeros(n, bool)
+    maskB[:16] = True
+    maskB[16] = True                     # z(16) + s(16) + o(32)
+    _rate1_vs_unrolled(maskB, n, 8, 3, use_pallas=False)   # upper 's'
+    _rate1_vs_unrolled(maskB, n, 8, 5, use_pallas=False, mode="exact")
+    _rate1_vs_unrolled(maskB, n, 4, 4, use_pallas=False, bs=8)
+
+
+def test_spc_pallas_subtree_equals_unrolled(monkeypatch):
+    """'s' ops inside the fused kernel (interpret on CPU), at the
+    boundary (s == b) and with descent (s < b)."""
+    monkeypatch.setenv("POLAR_TPU_SPC_MIN_STAGE", "4")
+    n = 64
+    maskB = np.zeros(n, bool)
+    maskB[:16] = True
+    maskB[16] = True
+    _rate1_vs_unrolled(maskB, n, 8, 4, use_pallas=True, bs=128)
+    _rate1_vs_unrolled(maskB, n, 8, 5, use_pallas=True, bs=128)
+
+
+def test_rate1_spc_high_rate_bler_matches_fast(monkeypatch):
+    """High-rate code where o-spans and SPC-16/32/64 all engage: the
+    extended node set is lossless — BLER must match the established
+    fast-SCL engine within Monte-Carlo noise."""
+    monkeypatch.setenv("POLAR_TPU_SPC_MIN_STAGE", "4")
+    n, k, L = 256, 200, 8
+    frozen, _ = generate_5g_ranking(k, n)
+    from polar_tpu.models.polar.scan_core import fast_schedule
+    mask = np.zeros(n, bool)
+    mask[frozen] = True
+    kinds = {op[0] for op in fast_schedule(mask, rate1=True)}
+    assert "s" in kinds and "o" in kinds
+    rng = np.random.default_rng(42)
+    bs = 512
+    u = rng.integers(0, 2, size=(bs, k)).astype(np.float32)
+    from polar_tpu.models.polar.encode import PolarEncoder
+    x = np.asarray(PolarEncoder(frozen, n)(jnp.asarray(u)))
+    snr = 4.0
+    sigma2 = 1.0 / (2 * (k / n) * 10 ** (snr / 10))
+    y = (1 - 2 * x) + rng.normal(0, np.sqrt(sigma2), size=x.shape)
+    llr_logits = (-(2.0 / sigma2) * y).astype(np.float32)
+    d_fast = PolarSCLDecoder(frozen, n, list_size=L, schedule="scan",
+                             use_fast_scl=True)
+    d_r1 = PolarSCLDecoder(frozen, n, list_size=L, schedule="scan",
+                           use_fast_scl=True, fast_rate1=True)
+    u_f = np.asarray(d_fast(jnp.asarray(llr_logits)))
+    u_r = np.asarray(d_r1(jnp.asarray(llr_logits)))
+    bler_f = float(np.mean((u_f != u).any(axis=1)))
+    bler_r = float(np.mean((u_r != u).any(axis=1)))
+    assert abs(bler_r - bler_f) < 0.02, (bler_r, bler_f)
