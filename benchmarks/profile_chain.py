@@ -143,6 +143,8 @@ def main():
     out = {
         "config": {"k": k, "n": n, "L": L, "bs": bs,
                    "fast": bool(args.fast), "b": b, "m": m,
+                   "rate1": os.environ.get("POLAR_TPU_FAST_RATE1",
+                                           "0") == "1",
                    "device": str(jax.devices()[0])},
         "secs_per_batch": {kk: round(v, 6) for kk, v in rows.items()},
         "info_bits_per_s": round(bits / rows["chain"], 1),
