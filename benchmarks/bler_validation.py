@@ -166,6 +166,20 @@ def main():
         _run(model, [1.0, 1.5, 2.0, 2.5], args, "scl8_n1024_fast",
              _ref_rows("northstar"), results)
 
+    if "northstar_r1" in chains:
+        # fast_rate1 (Hashemi rate-1 node shortcuts — the r5 bench
+        # leader): the flip set is exact w.r.t. the fast contract, so
+        # the curve must sit on the same reference baseline
+        k, n = 512, 1024
+        frozen, _ = pt.generate_5g_ranking(k, n)
+        model = pt.SystemAWGNModel(n, k, pt.PolarEncoder(frozen, n),
+                                   pt.PolarSCLDecoder(frozen, n,
+                                                      list_size=8,
+                                                      use_fast_scl=True,
+                                                      fast_rate1=True))
+        _run(model, [1.0, 1.5, 2.0, 2.5], args, "scl8_n1024_fast_r1",
+             _ref_rows("northstar"), results)
+
     if "5g" in chains:
         # mode="exact": the reference 5G chain (my_sn SCL) runs the exact
         # boxplus f, so the parity row must too — the product's min-sum

@@ -158,6 +158,21 @@ def main():
                     2.0, 8192, False,
                     {"POLAR_TPU_LOWER_STAGES": "9",
                      "POLAR_TPU_VMEM_LIMIT_MIB": "64"}))
+    # fast_rate1 (r5 bench leader): Hashemi rate-1 'o' node shortcuts in
+    # the specialized kernels (forks 512 -> 310 at L=8); explicit flag so
+    # the row is env-independent
+    configs.append(("scl8_n1024_fast_r1", 512, 1024, enc1k,
+                    pt.PolarSCLDecoder(frozen1k, 1024, list_size=8,
+                                       use_fast_scl=True, fast_rate1=True),
+                    2.0, 8192, False,
+                    {"POLAR_TPU_LOWER_STAGES": "9",
+                     "POLAR_TPU_VMEM_LIMIT_MIB": "64"}))
+    for Lf, bsf in ((16, 2048), (32, 2048)):
+        configs.append((f"scl{Lf}_n1024_fast_r1", 512, 1024, enc1k,
+                        pt.PolarSCLDecoder(frozen1k, 1024, list_size=Lf,
+                                           use_fast_scl=True,
+                                           fast_rate1=True),
+                        2.0, bsf))
 
     # OSD-2 on a (64, 128) code (VERDICT r2 task 4): codeword-estimate
     # chain (cw_estimates=True); 2144 patterns swept by the padded scan
