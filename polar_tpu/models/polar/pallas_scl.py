@@ -90,8 +90,58 @@ def _gather_rows(x2d, ptr):
     return _g8(x2d, ptr)
 
 
+def _bitonic_topl_rows(pmc, L):
+    """Top-L of the [2L, TB] candidate PMs via a bitonic sorting network
+    with an explicit candidate-index tie-break. The (pm, index)
+    lexicographic comparator is a strict total order, so the fully
+    sorted sequence is unique — the first L rows are EXACTLY
+    ``lax.top_k``'s ascending survivors (equal PMs -> lower candidate
+    index), bit-identical to the iterative-min extraction. All row moves
+    are static power-of-two swaps (reshape + flip), which Mosaic lowers
+    without dynamic gathers. Experimental alternative to the iterative
+    form (POLAR_TPU_BITONIC_TOPL=1)."""
+    n_ = pmc.shape[0]
+    TB = pmc.shape[-1]
+    pm_s = pmc
+    id_s = lax.broadcasted_iota(jnp.int32, (n_, TB), 0)
+    # masks derived from an in-kernel iota (a captured numpy constant
+    # would be rejected by pallas_call)
+    row = lax.broadcasted_iota(jnp.int32, (n_, 1), 0)
+
+    def xperm(x, j):
+        # row i -> row i^j: swap the two j-row halves of every 2j block
+        # (static slices + concat — Mosaic has no `rev` lowering)
+        x4 = x.reshape(n_ // (2 * j), 2, j, TB)
+        return jnp.concatenate([x4[:, 1:2], x4[:, 0:1]],
+                               axis=1).reshape(n_, TB)
+
+    k = 2
+    while k <= n_:
+        j = k // 2
+        while j >= 1:
+            p_pm = xperm(pm_s, j)
+            p_id = xperm(id_s, j)
+            up = (row & k) == 0           # ascending block
+            is_lo = (row & j) == 0        # row is the pair's low index
+            want_min = up == is_lo        # [n_, 1], broadcasts over TB
+            less = (pm_s < p_pm) | ((pm_s == p_pm) & (id_s < p_id))
+            keep_self = jnp.where(want_min, less, ~less)
+            pm_s = jnp.where(keep_self, pm_s, p_pm)
+            id_s = jnp.where(keep_self, id_s, p_id)
+            j //= 2
+        k *= 2
+    return pm_s[:L], id_s[:L]
+
+
+def bitonic_topl_default() -> bool:
+    """Bitonic top-L in the flat kernel (experimental, bit-identical —
+    see _bitonic_topl_rows). Opt-in via POLAR_TPU_BITONIC_TOPL=1."""
+    return os.environ.get("POLAR_TPU_BITONIC_TOPL", "0") == "1"
+
+
 def _subtree_kernel(*refs, b, L, llr_max, mode, frz_static=None,
-                    sched_static=None, cond_leaves=False):
+                    sched_static=None, cond_leaves=False,
+                    bitonic_topl=False):
     # frz_static (tuple of 0/1, compile-time) specializes the kernel to
     # one frozen set: frozen leaves keep only the pm update — the top-L
     # selection AND every pointer gather vanish (parent == identity), which
@@ -163,6 +213,8 @@ def _subtree_kernel(*refs, b, L, llr_max, mode, frz_static=None,
     def top_l(pmc):
         """Iterative min extraction over [2L, TB] candidates — identical
         tie semantics to lax.top_k (equal PMs -> lower candidate index)."""
+        if bitonic_topl:
+            return _bitonic_topl_rows(pmc, L)
         tmp = pmc
         vals, idxs = [], []
         for _j in range(L):
@@ -1046,7 +1098,9 @@ def subtree_pallas(a, frz, pm, *, b, L, llr_max, mode, interpret=False,
             _subtree_kernel, b=b, L=L, llr_max=float(llr_max), mode=mode,
             frz_static=frz_static, sched_static=sched_static,
             # runtime skip only applies to traced ('t') leaves
-            cond_leaves=cond_on)
+            cond_leaves=cond_on,
+            # static so the choice participates in the jit cache key
+            bitonic_topl=bitonic_topl_default())
     else:
         kern = functools.partial(
             _subtree_kernel_blocked, b=b, L=L, llr_max=float(llr_max),

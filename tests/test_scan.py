@@ -586,3 +586,17 @@ def test_rate1_spc_high_rate_bler_matches_fast(monkeypatch):
     bler_f = float(np.mean((u_f != u).any(axis=1)))
     bler_r = float(np.mean((u_r != u).any(axis=1)))
     assert abs(bler_r - bler_f) < 0.02, (bler_r, bler_f)
+
+
+def test_bitonic_topl_kernel_equals_unrolled(monkeypatch):
+    """POLAR_TPU_BITONIC_TOPL=1 swaps the kernel's iterative top-L for a
+    bitonic sorting network with an explicit index tie-break — a strict
+    total order, so the output is bit-identical to lax.top_k. Covers
+    leaf, repetition and rate-1 forks through the fused kernel."""
+    monkeypatch.setenv("POLAR_TPU_BITONIC_TOPL", "1")
+    n = 64
+    frozen, _ = generate_5g_ranking(32, n)
+    mask = np.zeros(n, bool)
+    mask[frozen] = True
+    _fast_vs_unrolled(mask, n, 8, 3, use_pallas=True, bs=128)
+    _rate1_vs_unrolled(mask, n, 8, 3, use_pallas=True, bs=128)

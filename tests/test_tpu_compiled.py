@@ -201,6 +201,30 @@ def test_bench_leader_b9_vmem64_cold_compiles(cold_compile_cache,
                 sched_static=tuple(unit[2]), interpret=False).compile()
 
 
+def test_bench_leader_rate1_cold_compiles(cold_compile_cache,
+                                          monkeypatch):
+    """The r5 shipped bench LEADER: rate-1 ('o' node) specialized fast-SCL
+    kernels at b=9/TB=512 under the 64 MiB scoped-VMEM limit (409.6M
+    bit/s — docs/PERFORMANCE.md ladder)."""
+    _tpu_or_skip()
+    from polar_tpu.models.polar.pallas_scl import subtree_pallas
+    from polar_tpu.models.polar.scan_core import split_fast_schedule
+    from polar_tpu.models.polar.construction import generate_5g_ranking
+    monkeypatch.setenv("POLAR_TPU_VMEM_LIMIT_MIB", "64")
+    n, k, bs, b = 1024, 512, 8192, 9
+    frozen, _ = generate_5g_ranking(k, n)
+    mask = np.zeros(n, dtype=bool)
+    mask[frozen] = True
+    units, _ = split_fast_schedule(mask, b, rate1=True)
+    a = jax.ShapeDtypeStruct((1 << b, 8, bs), jnp.float32)
+    pm = jax.ShapeDtypeStruct((8, bs), jnp.float32)
+    for unit in units:
+        if unit[0] == "sub":
+            subtree_pallas.lower(
+                a, None, pm, b=b, L=8, llr_max=30.0, mode="minsum",
+                sched_static=tuple(unit[2]), interpret=False).compile()
+
+
 @pytest.mark.slow
 def test_whole_tree_b10_kernel_cold_compiles(cold_compile_cache,
                                              monkeypatch):
