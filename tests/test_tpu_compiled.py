@@ -311,14 +311,17 @@ def test_bp_pallas_compiled_equals_xla(early_stop):
 
 def test_bp_pallas_cold_compiles_at_bench_shape(cold_compile_cache):
     _tpu_or_skip()
-    from polar_tpu.models.polar.pallas_bp import bp_pallas
+    # the jitted entry is _bp_pallas_impl since the r5 ADVICE fix moved
+    # the POLAR_TPU_BP_SLICE_MIN resolution into the wrapper so it lands
+    # in the jit cache key
+    from polar_tpu.models.polar.pallas_bp import _bp_pallas_impl
     llr = jax.ShapeDtypeStruct((1024, 8192), jnp.float32)
     prior = jax.ShapeDtypeStruct((1024,), jnp.float32)
     _skip_on_helper_500(
-        lambda: bp_pallas.lower(
+        lambda: _bp_pallas_impl.lower(
             llr, prior, S=10, num_iter=20, check_every=2,
             early_stop=True, mode="minsum", msf=0.9375,
-            llr_max=30.0, interpret=False).compile())
+            llr_max=30.0, interpret=False, slice_min=3).compile())
 
 
 def test_sc_sweep_pallas_equals_xla():
@@ -340,11 +343,18 @@ def test_sc_sweep_pallas_equals_xla():
 
 @pytest.mark.parametrize("L", [8, 16])
 def test_fast_scl_sweep_pallas_equals_xla(L):
-    """Compiled fast-SCL (sched_static Pallas kernels) == the XLA fast
-    mirror, both compiled on the chip. The XLA mirror is bit-identical to
-    the unrolled use_fast_scl=True engine (tests/test_scan.py), so this
-    transitively pins the pruned kernels to the reference-default
-    fast-SCL semantics."""
+    """Compiled fast-SCL (sched_static Pallas kernels on the chip) == the
+    XLA fast mirror compiled on CPU. The CPU suite pins the mirror
+    bit-identical to the unrolled use_fast_scl=True engine
+    (tests/test_scan.py), so this transitively pins the pruned kernels to
+    the reference-default fast-SCL semantics.
+
+    r5 note: the mirror compiled ON THE TPU no longer matches bitwise —
+    the current compile service reassociates its bulk softplus-sum
+    reductions (max PM drift ~6e-6 relative, r4's service matched
+    exactly). The KERNELS are unaffected (compiled == interpret passes
+    above), so the reference side of this test moved to CPU where the
+    reduction order is pinned by the CPU suite."""
     _tpu_or_skip()
     from polar_tpu.models.polar.scan_core import scl_sweep_hybrid_fast
     from polar_tpu.models.polar.construction import generate_5g_ranking
@@ -353,14 +363,17 @@ def test_fast_scl_sweep_pallas_equals_xla(L):
     mask = np.zeros(n, dtype=bool)
     mask[frozen] = True
     rng = np.random.default_rng(11)
-    llr = jnp.asarray(rng.normal(0, 4, size=(n, bs)).astype(np.float32))
-    outs = []
-    for up in (True, False):
-        u, pm = jax.jit(lambda up=up: scl_sweep_hybrid_fast(
-            llr, mask, L, mode="minsum", use_pallas=up))()
-        outs.append((np.asarray(u), np.asarray(pm)))
-    np.testing.assert_array_equal(outs[0][0], outs[1][0])
-    np.testing.assert_array_equal(outs[0][1], outs[1][1])
+    host_llr = rng.normal(0, 4, size=(n, bs)).astype(np.float32)
+    llr = jnp.asarray(host_llr)
+    u_tpu, pm_tpu = jax.jit(lambda: scl_sweep_hybrid_fast(
+        llr, mask, L, mode="minsum", use_pallas=True))()
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        llr_c = jax.device_put(host_llr, cpu)
+        u_cpu, pm_cpu = jax.jit(lambda: scl_sweep_hybrid_fast(
+            llr_c, mask, L, mode="minsum", use_pallas=False))()
+    np.testing.assert_array_equal(np.asarray(u_tpu), np.asarray(u_cpu))
+    np.testing.assert_array_equal(np.asarray(pm_tpu), np.asarray(pm_cpu))
 
 
 def test_fast_bench_chain_cold_compiles(cold_compile_cache, monkeypatch):
